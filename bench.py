@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Benchmark: per-frame depth association throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Baseline: the reference claims real-time operation on KITTI ("can be
+called once per frame in real time", monolidar_fusion/README.md:33) —
+KITTI frames arrive at 10 Hz, so the reference CPU baseline is 10
+frames/s.  vs_baseline = measured frames/s / 10.
+
+The measured step is the FULL per-frame pipeline on a KITTI-scale
+synthetic frame (131072-point padded cloud, 2048 features): RANSAC
+ground-plane fit + cloud projection/rasterization + both depth passes
+(primary + road fallback) + result codes + statistics.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from mono_lidar_depth_tpu import (
+        DepthEstimatorConfig, PinholeCamera, SE3, estimate_depths,
+        fit_ground_plane_ransac)
+    from mono_lidar_depth_tpu.io.kitti import make_synthetic_scan, pad_cloud
+
+    cfg = DepthEstimatorConfig.from_yaml(
+        "/root/reference/monolidar_fusion/parameters.yaml") \
+        if _reference_yaml_exists() else DepthEstimatorConfig()
+    cam = PinholeCamera(width=1226, height=370, focal_length=707.0,
+                        cx=601.8, cy=183.1)
+    R_lc = np.array([[0, -1, 0], [0, 0, -1], [1, 0, 0]], dtype=np.float32)
+    t_lc = np.array([0.0, -0.08, 0.27], dtype=np.float32)
+    T = SE3(jnp.asarray(R_lc), jnp.asarray(t_lc))
+
+    rng = np.random.default_rng(0)
+    n_frames = 20
+    clouds, valids = [], []
+    for _ in range(n_frames):
+        scan = make_synthetic_scan(rng, 120000)
+        c, v = pad_cloud(scan, len(scan), cfg.max_points)
+        clouds.append(c)
+        valids.append(v)
+    clouds = jnp.asarray(np.stack(clouds))
+    valids = jnp.asarray(np.stack(valids))
+    feats = jnp.asarray(rng.uniform(
+        [1, 1], [1225, 369],
+        (n_frames, cfg.max_features, 2)).astype(np.float32))
+    fvalid = jnp.ones((n_frames, cfg.max_features), dtype=bool)
+    keys = jax.random.split(jax.random.PRNGKey(0), n_frames)
+
+    def frame_step(cloud, cvalid, uv, uvv, key):
+        gp = fit_ground_plane_ransac(
+            cloud, cvalid, key,
+            distance_threshold=cfg.ransac_plane_distance_treshold,
+            num_hypotheses=cfg.ransac_num_hypotheses,
+            subsample=cfg.ransac_subsample_points,
+            use_refinement=cfg.ransac_plane_use_refinement,
+            refinement_threshold=cfg.ransac_plane_refinement_treshold)
+        return estimate_depths(cfg, cam, T, cloud, cvalid, uv, uvv, gp)
+
+    step = jax.jit(frame_step)
+
+    # Warm up (compile) on frame 0.
+    out = step(clouds[0], valids[0], feats[0], fvalid[0], keys[0])
+    jax.block_until_ready(out)
+
+    # Timed: sequential frames (fresh data each step — no caching).
+    t0 = time.perf_counter()
+    for i in range(n_frames):
+        out = step(clouds[i], valids[i], feats[i], fvalid[i], keys[i])
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    fps = n_frames / dt
+
+    print(json.dumps({
+        "metric": "depth_assoc_frames_per_s_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 10.0, 2),
+    }))
+
+
+def _reference_yaml_exists() -> bool:
+    import os
+    return os.path.exists("/root/reference/monolidar_fusion/parameters.yaml")
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, ".")
+    main()

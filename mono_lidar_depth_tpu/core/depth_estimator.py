@@ -1,0 +1,351 @@
+"""The fused per-frame depth-estimation pipeline.
+
+TPU-native redesign of `Mono_Lidar::DepthEstimator`
+(DepthEstimator.cpp:220-1037).  The reference walks a branchy
+per-feature state machine with ~10 early exits inside an OpenMP loop;
+here every branch is evaluated for ALL features as masked dense lanes
+and the final (result code, depth) is a pure select cascade — one jitted
+device program per frame, no data-dependent control flow.
+
+Pipeline stages (reference call stack in SURVEY.md §3.3-3.4):
+  1. cloud transform + projection + pixel grid     (projection.py)
+  2. window gather, primary scale                  (neighbors.py)
+  3. first-local-max histogram segmentation        (histogram.py)
+  4. max-spanning triangle / PCA + planarity       (planefit.py)
+  5. viewing ray ∩ local plane + threshold gates   (geometry.py)
+  6. road fallback: wide window, ground-plane
+     inlier filter, M-estimator fit, gates         (planefit.py)
+  7. result-code select cascade + statistics
+
+Result codes use the reference enum verbatim (result_types.py).
+
+Documented semantic fix vs the reference: the M-estimator's prior
+weights are computed as the distance of each LIDAR-frame neighbor to
+the LIDAR-frame ground plane.  The reference hands the lidar-frame
+plane coefficients to a distance computation over CAMERA-frame points
+(DepthEstimator.cpp:286-292 + PlaneEstimationMEstimator.cpp:34),
+mixing frames; only the weights are affected, not the fit itself,
+which runs on camera-frame points in both builds.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import DepthEstimatorConfig
+from .geometry import SE3, PinholeCamera, plane_from_points, point_plane_distance, ray_plane_intersection
+from .histogram import filter_points_min_dist_blob
+from .neighbors import gather_neighbors
+from .planefit import (check_planar, check_xz_flatness, first_three_points,
+                       least_squares_plane, max_spanning_triangle,
+                       pca_classify)
+from .projection import FrameCloud, build_frame_cloud
+from .ransac import GroundPlane
+from .result_types import NUM_RESULT_TYPES, DepthResultType as R
+
+
+class DepthEstimate(NamedTuple):
+    depths: jnp.ndarray  # [N] estimated depth, -1 on failure
+    codes: jnp.ndarray  # [N] int32 DepthResultType
+    counters: jnp.ndarray  # [NUM_RESULT_TYPES] int32 outcome histogram
+
+
+def no_ground_plane(max_points: int) -> GroundPlane:
+    """Placeholder ground plane (gp.ok == False disables the road pass,
+    like passing a null GroundPlane::Ptr in the reference)."""
+    return GroundPlane(
+        coeffs=jnp.array([0.0, 0.0, 1.0, 0.0], jnp.float32),
+        inlier_mask=jnp.zeros((max_points,), bool),
+        ok=jnp.asarray(False),
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "camera"))
+def estimate_depths(
+    cfg: DepthEstimatorConfig,
+    camera: PinholeCamera,
+    lidar_to_cam: SE3,
+    cloud_lidar: jnp.ndarray,
+    cloud_valid: jnp.ndarray,
+    features_uv: jnp.ndarray,
+    features_valid: jnp.ndarray,
+    ground_plane: Optional[GroundPlane] = None,
+) -> DepthEstimate:
+    """Estimate a metric depth for every feature point.
+
+    Replaces `DepthEstimator::CalculateDepth(Matrix2Xd, ...)`
+    (DepthEstimator.cpp:429-600) + `setInputCloud` (:220-312).
+
+    Args:
+      cfg: static pipeline configuration.
+      camera: static pinhole intrinsics.
+      lidar_to_cam: extrinsics (traced).
+      cloud_lidar: [P, 3] padded lidar cloud.
+      cloud_valid: [P] bool padding mask.
+      features_uv: [N, 2] feature pixel coordinates.
+      features_valid: [N] bool padding mask.
+      ground_plane: lidar-frame ground-plane estimate, or None.
+    """
+    N = features_uv.shape[0]
+    if ground_plane is None:
+        ground_plane = no_ground_plane(cloud_lidar.shape[0])
+
+    if cfg.set_all_depths_to_zero:  # DepthEstimator.cpp:448-453
+        codes = jnp.where(features_valid, jnp.int32(R.Success), jnp.int32(R.Unspecified))
+        return DepthEstimate(
+            depths=jnp.full((N,), -1.0, jnp.float32),
+            codes=codes,
+            counters=_count(codes, features_valid))
+
+    frame = build_frame_cloud(
+        cloud_lidar, cloud_valid, lidar_to_cam, camera,
+        cfg.image_height, cfg.image_width, cfg.grid_collision_rule)
+
+    # Viewing rays (camera_pinhole.h:52-69); z is positive for any
+    # finite pixel, but keep the reference's z<0 flip for safety
+    # (DepthEstimator.cpp:938-939).
+    ray_dir = camera.viewing_rays(features_uv.astype(jnp.float32))
+    ray_dir = jnp.where(ray_dir[..., 2:3] < 0, -ray_dir, ray_dir)
+    ray_origin = jnp.zeros_like(ray_dir)
+
+    # ---- primary pass --------------------------------------------------
+    hx = cfg.pixelarea_search_witdh * 0.5
+    hy = cfg.pixelarea_search_height * 0.5
+    nb1 = gather_neighbors(frame, features_uv, hx, hy, cfg.primary_window)
+    enough1 = nb1.count >= cfg.radiusSearch_count_min
+
+    depth1 = nb1.points_cam[..., 2]
+    if cfg.do_use_histogram_segmentation:
+        hist = filter_points_min_dist_blob(
+            depth1, nb1.mask,
+            cfg.histogram_segmentation_bin_witdh,
+            cfg.histogram_segmentation_min_pointcount,
+            cfg.histogram_bins)
+        seg_mask, hist_found = hist.seg_mask, hist.found
+    else:  # DepthEstimator.cpp:762-764: use all neighbors
+        seg_mask, hist_found = nb1.mask, jnp.ones((N,), bool)
+
+    use_triangle = (not cfg.do_use_PCA) and cfg.do_use_triangle_size_maximation
+    if use_triangle:
+        tri = max_spanning_triangle(nb1.points_cam, seg_mask)
+        tri_fail_code = jnp.int32(R.TriangleNotPlanarInsufficientPoints)
+    else:
+        tri = first_three_points(nb1.points_cam, seg_mask)
+        tri_fail_code = jnp.int32(R.HistogramNoLocalMax)  # DepthEstimator.cpp:920-921
+
+    if (not cfg.do_use_PCA) and cfg.do_check_triangleplanar_condition:
+        planar_ok = check_planar(tri.corners, cfg.triangleplanar_crossnorm_treshold)
+    else:
+        planar_ok = jnp.ones((N,), bool)
+
+    if cfg.do_use_PCA:
+        pca = pca_classify(nb1.points_cam, seg_mask,
+                           cfg.pca_treshold_3_abs_min,
+                           cfg.pca_treshold_3_2_rel_max,
+                           cfg.pca_treshold_2_1_rel_min)
+        normal, anchor = pca.normal, pca.anchor
+        n_unit = normal
+        offset = -jnp.sum(n_unit * anchor, axis=-1)
+    else:
+        n_unit, offset = plane_from_points(
+            tri.corners[:, 0], tri.corners[:, 1], tri.corners[:, 2])
+
+    # Orthogonality gate (LinePlaneIntersectionOrthogonalTreshold.cpp:16-48)
+    # — only on the primary path, only when the threshold is > 0.
+    cosang = jnp.abs(jnp.sum(n_unit * ray_dir, axis=-1))
+    if cfg.viewray_plane_orthoganality_treshold > 0:
+        ortho_ok = cosang >= cfg.viewray_plane_orthoganality_treshold
+    else:
+        ortho_ok = jnp.ones((N,), bool)
+
+    _, depth_p = ray_plane_intersection(n_unit, offset, ray_origin, ray_dir)
+    depth_p, gate_code_p = _apply_depth_gates(cfg, depth_p, depth1, seg_mask)
+
+    # Primary select cascade: per-lane the FIRST failure in the
+    # reference's execution order (DepthEstimator.cpp:491-600 + :903-1037)
+    # wins, so overrides are applied lowest-precedence first.
+    code_p = jnp.full((N,), jnp.int32(R.Success))
+    code_p = jnp.where(gate_code_p != 0, gate_code_p, code_p)
+    code_p = jnp.where(ortho_ok, code_p, jnp.int32(R.PlaneViewrayNotOrthogonal))
+    if cfg.do_use_PCA:
+        code_p = jnp.where(pca.is_cubic, jnp.int32(R.PcaIsCubic), code_p)
+        code_p = jnp.where(pca.is_linear, jnp.int32(R.PcaIsLine), code_p)
+        code_p = jnp.where(pca.is_point, jnp.int32(R.PcaIsPoint), code_p)
+    else:
+        code_p = jnp.where(planar_ok, code_p, jnp.int32(R.TriangleNotPlanar))
+    code_p = jnp.where(tri.ok, code_p, tri_fail_code)
+    code_p = jnp.where(hist_found, code_p, jnp.int32(R.HistogramNoLocalMax))
+    code_p = jnp.where(enough1, code_p, jnp.int32(R.RadiusSearchInsufficientPoints))
+
+    primary_success = code_p == jnp.int32(R.Success)
+    depth_primary = jnp.where(primary_success, depth_p, -1.0)
+    # Adjust-mode clamps still count as success with modified depth.
+
+    # ---- road fallback -------------------------------------------------
+    if cfg.do_use_ransac_plane:
+        code_f, depth_f = _road_pass(
+            cfg, camera, frame, features_uv, ray_origin, ray_dir,
+            ground_plane, code_p, depth_primary, enough1, primary_success)
+    else:
+        code_f, depth_f = code_p, depth_primary
+
+    code_f = jnp.where(features_valid, code_f, jnp.int32(R.Unspecified))
+    depth_f = jnp.where(features_valid, depth_f, -1.0)
+    return DepthEstimate(depths=depth_f, codes=code_f,
+                         counters=_count(code_f, features_valid))
+
+
+def _road_pass(cfg, camera, frame: FrameCloud, features_uv, ray_origin,
+               ray_dir, gp: GroundPlane, code_p, depth_primary,
+               enough1, primary_success):
+    """Road-feature fallback (DepthEstimator.cpp:578-597 + :782-900 +
+    RoadDepthEstimator*.cpp)."""
+    N = features_uv.shape[0]
+    hx = cfg.pixelarea_search_witdh * 0.5 * cfg.road_search_scale_x
+    hy = cfg.pixelarea_search_height * 0.5 * cfg.road_search_scale_y
+    nb2 = gather_neighbors(frame, features_uv, hx, hy, cfg.road_window)
+    enough2 = nb2.count >= cfg.radiusSearch_count_min
+
+    # Ground-plane distances in the LIDAR frame (the reference maps each
+    # camera-frame neighbor back with _transform_cam_to_lidar,
+    # DepthEstimator.cpp:810-812; we gather the stored lidar-frame points
+    # by raw index instead — same values, no extra transform).
+    safe_idx = jnp.clip(nb2.indices, 0, frame.points_lidar.shape[0] - 1)
+    pts_lidar = jnp.take(frame.points_lidar, safe_idx, axis=0)
+    gp_dist = point_plane_distance(pts_lidar, gp.coeffs)
+    any_far = jnp.any(
+        nb2.mask & (gp_dist > cfg.ransac_plane_point_distance_treshold), axis=-1)
+
+    road_mask = nb2.mask & jnp.take(gp.inlier_mask, safe_idx, axis=0)
+    road_count = jnp.sum(road_mask, axis=-1)
+    road_seg_ok = ~any_far & (road_count >= 3)
+
+    if cfg.plane_estimator_use_mestimator:
+        # Prior weights: distance of each (lidar-frame) neighbor to the
+        # (lidar-frame) ground plane — geometrically what the reference
+        # intends; see the frame-mix note in the module docstring.  The
+        # fit itself runs on camera-frame points, like the reference.
+        prior_dist = jnp.abs(
+            jnp.sum(pts_lidar * gp.coeffs[:3], axis=-1) + gp.coeffs[3])
+        road_normal, road_anchor, fit_ok = _mestimator_from_distances(
+            nb2.points_cam, road_mask, prior_dist)
+    elif cfg.plane_estimator_use_leastsquares:
+        ls = least_squares_plane(nb2.points_cam, road_mask)
+        road_normal, road_anchor, fit_ok = ls.normal, ls.anchor, ls.ok
+    else:  # RoadDepthEstimatorMaxSpanningTriangle.cpp:24-40
+        rtri = max_spanning_triangle(nb2.points_cam, road_mask)
+        road_normal, _ = plane_from_points(
+            rtri.corners[:, 0], rtri.corners[:, 1], rtri.corners[:, 2])
+        flat_ok = check_xz_flatness(nb2.points_cam, road_mask,
+                                    cfg.plane_estimator_z_x_min_relation)
+        road_anchor = rtri.corners[:, 0]
+        fit_ok = rtri.ok & flat_ok
+
+    road_offset = -jnp.sum(road_normal * road_anchor, axis=-1)
+    _, depth_r = ray_plane_intersection(road_normal, road_offset,
+                                        ray_origin, ray_dir)
+    depth_r, gate_code_r = _apply_depth_gates(
+        cfg, depth_r, nb2.points_cam[..., 2], road_mask)
+
+    code_r = jnp.full((N,), jnp.int32(R.SuccessRoad))
+    code_r = jnp.where(gate_code_r != 0, gate_code_r, code_r)
+    if cfg.plane_estimator_use_triangle_maximation:
+        # RoadDepthEstimatorMaxSpanningTriangle.cpp:33-40: triangle
+        # failure → RadiusSearchInsufficientPoints, flatness failure →
+        # InsufficientRoadPoints (checked in that order).
+        code_r = jnp.where(flat_ok, code_r, jnp.int32(R.InsufficientRoadPoints))
+        code_r = jnp.where(rtri.ok, code_r,
+                           jnp.int32(R.RadiusSearchInsufficientPoints))
+    del fit_ok  # m-estimator / LS fits always "succeed" in the reference
+    depth_r = jnp.where(code_r == jnp.int32(R.SuccessRoad), depth_r, -1.0)
+
+    # Assemble (DepthEstimator.cpp:578-599): road runs only when the
+    # primary pass got past the neighbor check but did not succeed, and
+    # a segmented ground plane exists.
+    road_applicable = gp.ok & enough1 & ~primary_success
+    # neighbor-gather failure in the road pass overrides the old code:
+    code = jnp.where(road_applicable,
+                     jnp.where(enough2,
+                               jnp.where(road_seg_ok, code_r, code_p),
+                               jnp.int32(R.RadiusSearchInsufficientPoints)),
+                     code_p)
+    depth = jnp.where(road_applicable,
+                      jnp.where(enough2 & road_seg_ok, depth_r, -1.0),
+                      depth_primary)
+    return code, depth
+
+
+def _mestimator_from_distances(points, mask, prior_dist, eps: float = 1e-9):
+    """M-estimator plane fit with externally supplied prior distances
+    (PlaneEstimationMEstimator.cpp:27-52 with the prior distance
+    evaluated in the lidar frame, where the ground plane lives)."""
+    w = jnp.where(mask, 1.0 / jnp.maximum(prior_dist, eps), 0.0)
+    wsum = jnp.sum(w, axis=-1, keepdims=True)
+    safe = jnp.where(wsum == 0, 1.0, wsum)
+    center = jnp.sum(w[..., None] * points, axis=-2) / safe
+    centered = (points - center[..., None, :]) * jnp.sqrt(w)[..., None]
+    scatter = jnp.einsum("nki,nkj->nij", centered, centered)
+    from .geometry import smallest_eigenvector_sym3x3
+    normal = smallest_eigenvector_sym3x3(scatter)
+    ok = (jnp.sum(mask, axis=-1) >= 3) & (wsum[..., 0] > 0)
+    return normal, center, ok
+
+
+def _apply_depth_gates(cfg: DepthEstimatorConfig, depth, neighbor_depths,
+                       seg_mask):
+    """Global + local threshold gates + behind-camera check.
+
+    Returns (possibly adjusted depth, gate code — 0 if the depth passed).
+    Order matches CalculateDepthSegmented (DepthEstimator.cpp:1006-1026):
+    global min, global max, local min, local max, behind-camera.
+    """
+    N = depth.shape[0]
+    code = jnp.zeros((N,), jnp.int32)
+
+    if cfg.treshold_depth_enabled:
+        below = depth < cfg.treshold_depth_min
+        above = depth > cfg.treshold_depth_max
+        if cfg.treshold_depth_mode == 0:  # Dispose
+            code = jnp.where(above & (code == 0),
+                             jnp.int32(R.TresholdDepthGlobalGreaterMax), code)
+            code = jnp.where(below & (code == 0),
+                             jnp.int32(R.TresholdDepthGlobalSmallerMin), code)
+        else:  # Adjust
+            depth = jnp.clip(depth, cfg.treshold_depth_min, cfg.treshold_depth_max)
+
+    if cfg.treshold_depth_local_enabled:
+        big = jnp.asarray(jnp.inf, depth.dtype)
+        z = neighbor_depths
+        min_z = jnp.min(jnp.where(seg_mask, z, big), axis=-1)
+        max_z = jnp.max(jnp.where(seg_mask, z, -big), axis=-1)
+        interval = max_z - min_z
+        if cfg.treshold_depth_local_valuetype == 1:  # relative
+            tol = interval * cfg.treshold_depth_local_value
+        else:
+            tol = jnp.full_like(interval, cfg.treshold_depth_local_value)
+        lo = min_z - tol
+        hi = max_z + tol
+        below = depth < lo
+        above = depth > hi
+        has_pts = jnp.any(seg_mask, axis=-1)
+        if cfg.treshold_depth_local_mode == 0:  # Dispose
+            code = jnp.where(has_pts & below & (code == 0),
+                             jnp.int32(R.TresholdDepthLocalSmallerMin), code)
+            code = jnp.where(has_pts & above & (code == 0),
+                             jnp.int32(R.TresholdDepthLocalGreaterMax), code)
+        else:
+            depth = jnp.where(has_pts, jnp.clip(depth, lo, hi), depth)
+
+    if cfg.do_use_cut_behind_camera:
+        code = jnp.where((depth < 0) & (code == 0),
+                         jnp.int32(R.CornerBehindCamera), code)
+    return depth, code
+
+
+def _count(codes, valid):
+    onehot = jax.nn.one_hot(codes, NUM_RESULT_TYPES, dtype=jnp.int32)
+    return jnp.sum(onehot * valid[:, None].astype(jnp.int32), axis=0)

@@ -1,0 +1,143 @@
+"""Per-frame tracklet-depth association pipeline.
+
+TPU-native replacement for `TrackletDepthModule::process`
+(tracklet_depth_module.cpp:261-405).  One call per frame:
+
+  1. split incoming tracks into known / brand-new
+     (ExractNewTrackletFrames two-feature seeding rule, :23-61);
+  2. estimate depths of the PREVIOUS-frame features of new tracks
+     against the LAST frame's cloud + ground plane
+     (CalculateFeatureDepthsLastFrame, :84-117);
+  3. estimate depths of all NEWEST features against the CURRENT cloud
+     (CalculateFeatureDepthsCurFrame, :63-82);
+  4. update the track table (SaveFeatureDepths + TidyUp*, :119-207).
+
+The reference's per-frame degradation path (invalid cloud →
+ExceptionPclInvalid → all depths -1 and cache invalidation,
+:315-351) maps to the `cloud_valid` mask / `gp.ok` flag: an empty or
+invalid frame produces RadiusSearchInsufficientPoints for every
+feature and an inert road pass — no host-side exception flow needed.
+
+State (last cloud + last ground plane, tracklet_depth_module.h:145-152)
+is an explicit pytree, so the whole per-frame step jits and the
+sequence loop can be a `lax.scan`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import DepthEstimatorConfig
+from ..core.depth_estimator import estimate_depths
+from ..core.geometry import SE3, PinholeCamera
+from ..core.ransac import GroundPlane, fit_ground_plane_ransac
+from ..core.result_types import NUM_RESULT_TYPES
+from .table import TrackTable, match_tracks, update_tracks
+
+
+class TrackletDepthState(NamedTuple):
+    """Cross-frame state (replaces _cloud_last_frame / groundPlaneLast_
+    / _trackletMap / _timestamps)."""
+
+    table: TrackTable
+    cloud_last: jnp.ndarray  # [P, 3]
+    cloud_last_valid: jnp.ndarray  # [P]
+    gp_last: GroundPlane
+    counters: jnp.ndarray  # [NUM_RESULT_TYPES] accumulated outcomes
+
+    @classmethod
+    def create(cls, cfg: DepthEstimatorConfig, max_tracks: int,
+               max_length: int) -> "TrackletDepthState":
+        P = cfg.max_points
+        from ..core.depth_estimator import no_ground_plane
+        return cls(
+            table=TrackTable.create(max_tracks, max_length),
+            cloud_last=jnp.zeros((P, 3), jnp.float32),
+            cloud_last_valid=jnp.zeros((P,), bool),
+            gp_last=no_ground_plane(P),
+            counters=jnp.zeros((NUM_RESULT_TYPES,), jnp.int32),
+        )
+
+
+class FrameInput(NamedTuple):
+    """One synchronized frame (replaces the 3/4-way ROS message sync —
+    arrays are aligned by construction, SURVEY.md §2.7)."""
+
+    cloud: jnp.ndarray  # [P, 3] lidar-frame points
+    cloud_valid: jnp.ndarray  # [P]
+    ids: jnp.ndarray  # [M] int32 track ids from the feature tracker
+    ids_valid: jnp.ndarray  # [M]
+    uv_new: jnp.ndarray  # [M, 2] newest feature per track
+    uv_prev: jnp.ndarray  # [M, 2] previous-frame feature per track
+    stamp: jnp.ndarray  # scalar time
+    rng: jax.Array  # PRNG key for the RANSAC ground plane
+
+
+@partial(jax.jit, static_argnames=("cfg", "camera"))
+def process_frame(
+    cfg: DepthEstimatorConfig,
+    camera: PinholeCamera,
+    lidar_to_cam: SE3,
+    state: TrackletDepthState,
+    frame: FrameInput,
+) -> tuple[TrackletDepthState, jnp.ndarray, jnp.ndarray]:
+    """Process one frame; returns (state', depths_new [M], codes_new [M])."""
+    # Ground plane for the current cloud (the reference builds it inside
+    # setInputCloud when none is supplied, DepthEstimator.cpp:274-283).
+    gp = fit_ground_plane_ransac(
+        frame.cloud, frame.cloud_valid, frame.rng,
+        distance_threshold=cfg.ransac_plane_distance_treshold,
+        min_z=cfg.ransac_plane_min_z, max_z=cfg.ransac_plane_max_z,
+        num_hypotheses=cfg.ransac_num_hypotheses,
+        subsample=cfg.ransac_subsample_points,
+        axis_max_angle_deg=cfg.ransac_axis_max_angle_deg,
+        use_refinement=cfg.ransac_plane_use_refinement,
+        refinement_threshold=cfg.ransac_plane_refinement_treshold,
+    ) if cfg.do_use_ransac_plane else None
+
+    _, is_new = match_tracks(state.table, frame.ids, frame.ids_valid)
+
+    # Depths for previous-frame features of NEW tracks, against the
+    # last frame's cloud + plane.
+    est_prev = estimate_depths(
+        cfg, camera, lidar_to_cam, state.cloud_last, state.cloud_last_valid,
+        frame.uv_prev, is_new, state.gp_last)
+
+    # Depths for all newest features against the current cloud + plane.
+    est_new = estimate_depths(
+        cfg, camera, lidar_to_cam, frame.cloud, frame.cloud_valid,
+        frame.uv_new, frame.ids_valid, gp)
+
+    table, _ = update_tracks(
+        state.table, frame.ids, frame.ids_valid, frame.uv_new,
+        frame.uv_prev, est_new.depths, est_prev.depths, frame.stamp)
+
+    from ..core.depth_estimator import no_ground_plane
+    new_state = TrackletDepthState(
+        table=table,
+        cloud_last=frame.cloud,
+        cloud_last_valid=frame.cloud_valid,
+        gp_last=gp if gp is not None else no_ground_plane(cfg.max_points),
+        counters=state.counters + est_new.counters + est_prev.counters,
+    )
+    return new_state, est_new.depths, est_new.codes
+
+
+def process_sequence(cfg: DepthEstimatorConfig, camera: PinholeCamera,
+                     lidar_to_cam: SE3, state: TrackletDepthState,
+                     frames: FrameInput):
+    """lax.scan over a stacked sequence of frames (leading time axis on
+    every FrameInput leaf).  Returns (final state, depths [F, M],
+    codes [F, M])."""
+
+    def step(carry, frame):
+        new_state, depths, codes = process_frame(
+            cfg, camera, lidar_to_cam, carry, frame)
+        return new_state, (depths, codes)
+
+    final, (depths, codes) = jax.lax.scan(step, state, frames)
+    return final, depths, codes

@@ -1,0 +1,172 @@
+"""End-to-end tests of the fused depth-estimation pipeline."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mono_lidar_depth_tpu import (
+    DepthEstimatorConfig, DepthResultType as R, PinholeCamera, SE3,
+    estimate_depths, fit_ground_plane_ransac, no_ground_plane)
+
+# Small static sizes for fast CPU tests.
+CFG = DepthEstimatorConfig(
+    max_points=8192, max_features=64, image_width=256, image_height=128,
+    ransac_num_hypotheses=256, ransac_subsample_points=2048)
+CAM = PinholeCamera(width=256, height=128, focal_length=200.0, cx=128.0, cy=64.0)
+
+
+def _pad_cloud(pts, cfg=CFG):
+    P = cfg.max_points
+    out = np.zeros((P, 3), dtype=np.float32)
+    n = min(len(pts), P)
+    out[:n] = pts[:n]
+    valid = np.zeros(P, dtype=bool)
+    valid[:n] = True
+    return jnp.asarray(out), jnp.asarray(valid)
+
+
+def _pad_features(uv, cfg=CFG):
+    N = cfg.max_features
+    out = np.zeros((N, 2), dtype=np.float32)
+    n = min(len(uv), N)
+    out[:n] = uv[:n]
+    valid = np.zeros(N, dtype=bool)
+    valid[:n] = True
+    return jnp.asarray(out), jnp.asarray(valid)
+
+
+def _wall_cloud(z=20.0, spacing_px=2.0, cam=CAM):
+    """Camera-frame points on the plane z=const, one per spacing_px."""
+    step = z * spacing_px / cam.focal_length
+    xs = np.arange(-cam.cx, cam.cx, spacing_px) * z / cam.focal_length
+    ys = np.arange(-cam.cy, cam.cy, spacing_px) * z / cam.focal_length
+    X, Y = np.meshgrid(xs, ys)
+    return np.stack([X.ravel(), Y.ravel(), np.full(X.size, z)], axis=1)
+
+
+def test_wall_depth_success():
+    # Flat wall at z=20 → every central feature should get depth ≈ 20.
+    cloud, cvalid = _pad_cloud(_wall_cloud())
+    uv = np.array([[128.0, 64.0], [100.0, 50.0], [150.0, 70.0], [60.0, 90.0]])
+    feats, fvalid = _pad_features(uv)
+    out = estimate_depths(CFG, CAM, SE3.identity(), cloud, cvalid,
+                          feats, fvalid, None)
+    codes = np.asarray(out.codes)[:4]
+    depths = np.asarray(out.depths)[:4]
+    assert (codes == R.Success).all(), codes
+    np.testing.assert_allclose(depths, 20.0, atol=0.05)
+    # padding lanes are Unspecified / -1
+    assert (np.asarray(out.codes)[4:] == R.Unspecified).all()
+    assert (np.asarray(out.depths)[4:] == -1).all()
+    # counters count only valid features
+    assert int(out.counters[R.Success]) == 4
+    assert int(np.asarray(out.counters).sum()) == 4
+
+
+def test_no_lidar_coverage():
+    # Wall only on the left half → features on the right get code 2.
+    pts = _wall_cloud()
+    pts = pts[pts[:, 0] < 0]
+    cloud, cvalid = _pad_cloud(pts)
+    feats, fvalid = _pad_features(np.array([[200.0, 64.0]]))
+    out = estimate_depths(CFG, CAM, SE3.identity(), cloud, cvalid,
+                          feats, fvalid, None)
+    assert int(out.codes[0]) == R.RadiusSearchInsufficientPoints
+
+
+def test_depth_discontinuity_picks_foreground():
+    # Foreground wall at z=10 on the left of the feature, background at
+    # z=30 on the right: the histogram picks the FIRST (nearest) blob.
+    fg = _wall_cloud(z=10.0)
+    fg = fg[fg[:, 0] <= 0.01]
+    bg = _wall_cloud(z=30.0)
+    bg = bg[bg[:, 0] > 0.01]
+    cloud, cvalid = _pad_cloud(np.concatenate([fg, bg]))
+    feats, fvalid = _pad_features(np.array([[127.0, 64.0]]))
+    out = estimate_depths(CFG, CAM, SE3.identity(), cloud, cvalid,
+                          feats, fvalid, None)
+    assert int(out.codes[0]) == R.Success
+    assert abs(float(out.depths[0]) - 10.0) < 0.2
+
+
+def test_global_threshold_disposes():
+    cfg = CFG.replace(treshold_depth_max=15.0)
+    cloud, cvalid = _pad_cloud(_wall_cloud(z=20.0))
+    feats, fvalid = _pad_features(np.array([[128.0, 64.0]]))
+    out = estimate_depths(cfg, CAM, SE3.identity(), cloud, cvalid,
+                          feats, fvalid, None)
+    assert int(out.codes[0]) == R.TresholdDepthGlobalGreaterMax
+    assert float(out.depths[0]) == -1.0
+
+
+def test_global_threshold_adjust_mode():
+    cfg = CFG.replace(treshold_depth_max=15.0, treshold_depth_mode=1)
+    cloud, cvalid = _pad_cloud(_wall_cloud(z=20.0))
+    feats, fvalid = _pad_features(np.array([[128.0, 64.0]]))
+    out = estimate_depths(cfg, CAM, SE3.identity(), cloud, cvalid,
+                          feats, fvalid, None)
+    # Adjust mode clamps the depth and still succeeds... but the local
+    # threshold then disposes it (clamped 15 vs neighbors at 20).
+    # Disable the local gate to observe the clamp.
+    cfg2 = cfg.replace(treshold_depth_local_enabled=False)
+    out2 = estimate_depths(cfg2, CAM, SE3.identity(), cloud, cvalid,
+                           feats, fvalid, None)
+    assert int(out2.codes[0]) == R.Success
+    np.testing.assert_allclose(float(out2.depths[0]), 15.0, atol=1e-4)
+
+
+def test_road_fallback(rng):
+    """A slanted ground plane under the camera with sparse coverage near
+    the feature: the primary pass fails (too few points in the small
+    window), the road pass succeeds via the ground-plane fit."""
+    cam = CAM
+    # Ground plane in camera frame: y = 1.5 (camera 1.5 m above ground),
+    # i.e. lidar-frame z = -1.5 with lidar_to_cam mapping
+    # (x_l, y_l, z_l) -> (x_c, y_c, z_c) = (-y_l, -z_l, x_l).
+    R_lc = np.array([[0, -1, 0], [0, 0, -1], [1, 0, 0]], dtype=np.float32)
+    T = SE3(jnp.asarray(R_lc), jnp.zeros(3, dtype=jnp.float32))
+    # lidar-frame ground points: z_l = -1.5, x_l in [5, 40] (forward)
+    n = 4000
+    xl = rng.uniform(5, 40, size=n)
+    yl = rng.uniform(-8, 8, size=n)
+    zl = np.full(n, -1.5) + rng.normal(size=n) * 0.01
+    pts_l = np.column_stack([xl, yl, zl]).astype(np.float32)
+    cloud, cvalid = _pad_cloud(pts_l)
+
+    gp = fit_ground_plane_ransac(
+        cloud, cvalid, jax.random.PRNGKey(0),
+        distance_threshold=0.2, refinement_threshold=0.3,
+        num_hypotheses=256, subsample=2048, inliers_from_full_cloud=True)
+    assert bool(gp.ok)
+
+    # A feature on the ground ~12 m ahead: v from y=1.5, z=12.
+    z_c, y_c = 12.0, 1.5
+    u = cam.cx
+    v = cam.focal_length * y_c / z_c + cam.cy
+    feats, fvalid = _pad_features(np.array([[u, v]]))
+
+    cfg = CFG.replace(histogram_segmentation_min_pointcount=3)
+    out = estimate_depths(cfg, cam, T, cloud, cvalid, feats, fvalid, gp)
+    code = int(out.codes[0])
+    depth = float(out.depths[0])
+    assert code in (R.Success, R.SuccessRoad), code
+    assert abs(depth - 12.0) < 1.0, depth
+
+
+def test_set_all_depths_to_zero():
+    cfg = CFG.replace(set_all_depths_to_zero=True)
+    cloud, cvalid = _pad_cloud(_wall_cloud())
+    feats, fvalid = _pad_features(np.array([[128.0, 64.0]]))
+    out = estimate_depths(cfg, CAM, SE3.identity(), cloud, cvalid,
+                          feats, fvalid, None)
+    assert int(out.codes[0]) == R.Success
+    assert float(out.depths[0]) == -1.0
+
+
+def test_pca_mode_runs():
+    cfg = CFG.replace(do_use_PCA=True, pca_treshold_2_1_rel_min=0.001)
+    cloud, cvalid = _pad_cloud(_wall_cloud())
+    feats, fvalid = _pad_features(np.array([[128.0, 64.0]]))
+    out = estimate_depths(cfg, CAM, SE3.identity(), cloud, cvalid,
+                          feats, fvalid, None)
+    assert int(out.codes[0]) in (R.Success, R.PcaIsPoint, R.PcaIsCubic)

@@ -1,0 +1,113 @@
+"""Projection / pixel-grid / neighbor-gather tests.
+
+Mirrors the reference test `NeigborFinder.findByPixel`
+(test_monolidar_fusion.cpp:82-171): synthesize camera-consistent 3D
+points, rasterize, gather windows, assert the geometric invariants.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from mono_lidar_depth_tpu.core.geometry import SE3, PinholeCamera
+from mono_lidar_depth_tpu.core.neighbors import gather_neighbors
+from mono_lidar_depth_tpu.core.projection import build_frame_cloud
+
+
+def _identity_se3():
+    return SE3.identity()
+
+
+def _make_frame(points_cam, valid=None, cam=None, rule="nearest", H=100, W=100):
+    cam = cam or PinholeCamera(width=W, height=H, focal_length=600.0,
+                               cx=W / 2, cy=H / 2)
+    pts = jnp.asarray(points_cam, dtype=jnp.float32)
+    if valid is None:
+        valid = jnp.ones(pts.shape[0], dtype=bool)
+    return cam, build_frame_cloud(pts, valid, _identity_se3(), cam, H, W, rule)
+
+
+def test_reference_find_by_pixel(rng):
+    # Reference fixture: 100x100 camera, f=600, c=(50,50); 50 points at
+    # integer pixels in [0,10)^2 lifted to random depths 1..10; window
+    # 3x5.  Invariant: every neighbor re-projects into its grid cell and
+    # lies within the search rect (±ceil(half)+0.01).
+    W = H = 100
+    cam = PinholeCamera(width=W, height=H, focal_length=600.0, cx=50.0, cy=50.0)
+    n = 50
+    uv = rng.integers(1, 10, size=(n, 2)).astype(np.float64)
+    rays = np.asarray(cam.viewing_rays(jnp.asarray(uv, dtype=jnp.float32)))
+    depths = rng.integers(1, 11, size=(n, 1)).astype(np.float64)
+    pts = rays * depths  # support is origin
+
+    cam, frame = _make_frame(pts, cam=cam)
+    features = jnp.asarray(uv, dtype=jnp.float32)
+    nb = gather_neighbors(frame, features, 3 * 0.5, 5 * 0.5, (7, 5))
+
+    grid = np.asarray(frame.grid)
+    nb_idx = np.asarray(nb.indices)
+    nb_mask = np.asarray(nb.mask)
+    uv_all = np.asarray(frame.uv)
+    for i in range(n):
+        for k in range(nb_idx.shape[1]):
+            if not nb_mask[i, k]:
+                continue
+            j = nb_idx[i, k]
+            # neighbor reprojects into its own grid cell
+            x, y = int(uv_all[j, 0]), int(uv_all[j, 1])
+            assert grid[y, x] >= 0
+            # within the search rect (reference asserts with +0.01 slop
+            # on ceil(half-extent))
+            assert abs(uv_all[j, 0] - uv[i, 0]) <= np.ceil(3 * 0.5) + 1.01
+            assert abs(uv_all[j, 1] - uv[i, 1]) <= np.ceil(5 * 0.5) + 1.01
+
+
+def test_grid_excludes_behind_camera():
+    pts = [[0.0, 0.0, 10.0], [0.0, 0.0, -10.0]]
+    _, frame = _make_frame(pts)
+    grid = np.asarray(frame.grid)
+    assert (grid >= 0).sum() == 1
+    assert grid[50, 50] == 0
+
+
+def test_grid_collision_nearest_vs_first():
+    # Two points projecting to the same pixel; index 0 is farther.
+    pts = [[0.0, 0.0, 20.0], [0.0, 0.0, 10.0]]
+    _, fr_near = _make_frame(pts, rule="nearest")
+    _, fr_first = _make_frame(pts, rule="first")
+    assert np.asarray(fr_near.grid)[50, 50] == 1  # nearest (z=10) wins
+    assert np.asarray(fr_first.grid)[50, 50] == 0  # first in scan order wins
+
+
+def test_invalid_points_excluded():
+    pts = [[0.0, 0.0, 10.0], [0.001, 0.0, 10.0]]
+    valid = jnp.asarray([False, True])
+    _, frame = _make_frame(pts, valid=valid)
+    grid = np.asarray(frame.grid)
+    assert grid[50, 50] == 1
+
+
+def test_window_bounds_clamped():
+    # Feature at the image corner: window must clamp, not wrap.
+    pts = [[-0.8, -0.8, 10.0]]  # projects near (2, 2)
+    cam, frame = _make_frame(pts)
+    feat = jnp.asarray([[1.0, 1.0]], dtype=jnp.float32)
+    nb = gather_neighbors(frame, feat, 3.0, 4.5, (11, 8))
+    # All gathered cells lie inside the image: no negative wrap pulls in
+    # the far side of the grid.
+    assert int(nb.count[0]) == np.asarray(
+        frame.grid[:6, :5] >= 0).sum()
+
+
+def test_neighbor_count_and_points(rng):
+    # Dense planar wall z=20 covering the image → window full of points.
+    xs, ys = np.meshgrid(np.arange(-30, 31), np.arange(-15, 16))
+    pts = np.stack([xs.ravel() * 0.05, ys.ravel() * 0.05,
+                    np.full(xs.size, 20.0)], axis=1)
+    cam, frame = _make_frame(pts, W=1248, H=384)
+    # (0.05 spacing * 600 f / 20 z) = 1.5 px spacing on the image
+    feat = jnp.asarray([[624.0, 192.0]], dtype=jnp.float32)
+    nb = gather_neighbors(frame, feat, 3.0, 4.5, (11, 8))
+    assert int(nb.count[0]) > 6
+    p = np.asarray(nb.points_cam[0])
+    m = np.asarray(nb.mask[0])
+    assert np.allclose(p[m][:, 2], 20.0)
