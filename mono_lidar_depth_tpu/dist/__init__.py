@@ -1,0 +1,8 @@
+"""Distribution: device meshes, sharded frame batches, distributed
+Schur-complement bundle adjustment (SURVEY.md §2.7 mappings)."""
+
+from .mesh import make_mesh, frame_sharding, replicated_sharding
+from .sharded import distributed_ba, sharded_depth_association
+
+__all__ = ["make_mesh", "frame_sharding", "replicated_sharding",
+           "distributed_ba", "sharded_depth_association"]

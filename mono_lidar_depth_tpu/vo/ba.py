@@ -105,90 +105,128 @@ def _huber_w(err, delta):
     return jnp.where(err <= delta, 1.0, delta / jnp.maximum(err, 1e-9))
 
 
+def ba_cost(camera, pb: BAProblem, huber_px: float = 2.0,
+            depth_weight: float = 1.0, huber_depth: float = 0.5,
+            axis_name: str | None = None) -> jnp.ndarray:
+    r, _, _, active, p = _proj_residuals(camera, pb)
+    err = jnp.linalg.norm(r, axis=-1)
+    c = jnp.sum(jnp.where(active, jnp.minimum(err, huber_px) *
+                          (err - 0.5 * jnp.minimum(err, huber_px)), 0.0))
+    r_d, _, _, active_d = _depth_residuals(pb, p)
+    ed = jnp.abs(r_d)
+    c_d = jnp.sum(jnp.where(
+        active_d, depth_weight * jnp.minimum(ed, huber_depth) *
+        (ed - 0.5 * jnp.minimum(ed, huber_depth)), 0.0))
+    total = c + c_d
+    if axis_name is not None:
+        total = jax.lax.psum(total, axis_name)
+    return total
+
+
+def ba_iteration(camera, pb: BAProblem, huber_px: float, depth_weight: float,
+                 huber_depth: float, damping: float,
+                 axis_name: str | None = None) -> BAProblem:
+    """One damped Gauss-Newton iteration.
+
+    When `axis_name` is given the landmark dimension is assumed SHARDED
+    over that mesh axis: each device assembles blocks for its landmark
+    shard and the reduced camera system (S, b_red — the only
+    cross-landmark quantities) is psum'd, then solved replicated; the
+    landmark back-substitution stays local.  This is the distributed
+    Schur-complement reduction of the north-star design (BASELINE.json):
+    per-device work scales with L/D, communication is O(K^2) only.
+    """
+    K = pb.R.shape[0]
+    r, Jpose, Jlm, active, p = _proj_residuals(camera, pb)
+    err = jnp.linalg.norm(r, axis=-1)
+    w = jnp.where(active, _huber_w(err, huber_px), 0.0)  # [K, L]
+
+    r_d, Jpose_d, Jlm_d, active_d = _depth_residuals(pb, p)
+    w_d = jnp.where(active_d,
+                    depth_weight * _huber_w(jnp.abs(r_d), huber_depth),
+                    0.0)
+
+    # Hessian blocks (reprojection + depth prior).
+    Hpp = (jnp.einsum("kl,klri,klrj->kij", w, Jpose, Jpose)
+           + jnp.einsum("kl,kli,klj->kij", w_d, Jpose_d, Jpose_d))
+    Hll = (jnp.einsum("kl,klri,klrj->lij", w, Jlm, Jlm)
+           + jnp.einsum("kl,kli,klj->lij", w_d, Jlm_d, Jlm_d))
+    Hpl = (jnp.einsum("kl,klri,klrj->klij", w, Jpose, Jlm)
+           + jnp.einsum("kl,kli,klj->klij", w_d, Jpose_d, Jlm_d))
+    bp = (jnp.einsum("kl,klri,klr->ki", w, Jpose, r)
+          + jnp.einsum("kl,kli,kl->ki", w_d, Jpose_d, r_d))
+    bl = (jnp.einsum("kl,klri,klr->li", w, Jlm, r)
+          + jnp.einsum("kl,kli,kl->li", w_d, Jlm_d, r_d))
+
+    # Relative (Marquardt) damping: the absolute scale of Hll blocks is
+    # ~f^2/z^2 and varies by orders of magnitude; damping proportional
+    # to the block trace bounds the condition number at ~3/damping so
+    # the f32 block inverse cannot overflow (a fixed 1e-4 floor let
+    # cond reach ~5e7 and jnp.linalg.inv returned inf).
+    obs_cnt = jnp.sum(w, axis=0) + jnp.sum(w_d, axis=0)
+    lm_free = (obs_cnt > 0) & pb.lm_valid
+    tr_l = jnp.trace(Hll, axis1=-2, axis2=-1) / 3.0
+    Hll = Hll + (damping * jnp.maximum(tr_l, 1.0) + 1e-8)[:, None, None] \
+        * jnp.eye(3, dtype=Hll.dtype)
+    Hll = jnp.where(lm_free[:, None, None], Hll,
+                    jnp.eye(3, dtype=Hll.dtype))
+    bl = jnp.where(lm_free[:, None], bl, 0.0)
+
+    Hll_inv = jnp.linalg.inv(Hll)  # [L, 3, 3] tiny blocks
+    W = jnp.einsum("klij,ljm->klim", Hpl, Hll_inv)  # [K, L, 6, 3]
+
+    S_cross = jnp.einsum("klim,qljm->kqij", W, Hpl)  # [K, K, 6, 6]
+    b_red_lm = jnp.einsum("klim,lm->ki", W, bl)  # [K, 6]
+
+    if axis_name is not None:
+        # Reduce the camera system over landmark shards (ICI psum).
+        Hpp = jax.lax.psum(Hpp, axis_name)
+        S_cross = jax.lax.psum(S_cross, axis_name)
+        bp = jax.lax.psum(bp, axis_name)
+        b_red_lm = jax.lax.psum(b_red_lm, axis_name)
+
+    tr_p = jnp.trace(Hpp, axis1=-2, axis2=-1) / 6.0
+    Hpp = Hpp + (damping * jnp.maximum(tr_p, 1.0))[:, None, None] \
+        * jnp.eye(6, dtype=Hpp.dtype)
+    S = -S_cross
+    S = S.at[jnp.arange(K), jnp.arange(K)].add(Hpp)
+    b_red = bp - b_red_lm
+
+    # gauge: fixed poses get identity rows/cols and zero gradient
+    fix = pb.fixed
+    S = jnp.where(fix[:, None, None, None] | fix[None, :, None, None],
+                  0.0, S)
+    S = S.at[jnp.arange(K), jnp.arange(K)].add(
+        jnp.where(fix[:, None, None], jnp.eye(6, dtype=S.dtype), 0.0))
+    b_red = jnp.where(fix[:, None], 0.0, b_red)
+
+    Sd = S.transpose(0, 2, 1, 3).reshape(6 * K, 6 * K)
+    dxi = -jnp.linalg.solve(Sd, b_red.reshape(-1)).reshape(K, 6)
+    dxi = jnp.where(fix[:, None], 0.0, dxi)
+
+    # back-substitute landmarks (local to each shard)
+    rhs = -bl - jnp.einsum("klij,ki->lj", Hpl, dxi)
+    dl = jnp.einsum("lij,lj->li", Hll_inv, rhs)
+    dl = jnp.where(lm_free[:, None], dl, 0.0)
+
+    dR, dt = se3_exp(dxi)
+    R_new = dR @ pb.R
+    t_new = jnp.einsum("kij,kj->ki", dR, pb.t) + dt
+    return pb._replace(R=R_new, t=t_new, landmarks=pb.landmarks + dl)
+
+
 @partial(jax.jit, static_argnames=("camera", "iters", "huber_px",
                                    "depth_weight", "huber_depth", "damping"))
 def run_ba(camera, problem: BAProblem, iters: int = 8,
            huber_px: float = 2.0, depth_weight: float = 1.0,
            huber_depth: float = 0.5, damping: float = 1e-4) -> BAResult:
-    """Run `iters` damped Gauss-Newton iterations."""
-    K = problem.R.shape[0]
-    L = problem.landmarks.shape[0]
+    """Run `iters` damped Gauss-Newton iterations (single device)."""
 
-    def cost(pb: BAProblem):
-        r, _, _, active, p = _proj_residuals(camera, pb)
-        err = jnp.linalg.norm(r, axis=-1)
-        c = jnp.sum(jnp.where(active, jnp.minimum(err, huber_px) *
-                              (err - 0.5 * jnp.minimum(err, huber_px)), 0.0))
-        r_d, _, _, active_d = _depth_residuals(pb, p)
-        ed = jnp.abs(r_d)
-        c_d = jnp.sum(jnp.where(
-            active_d, depth_weight * jnp.minimum(ed, huber_depth) *
-            (ed - 0.5 * jnp.minimum(ed, huber_depth)), 0.0))
-        return c + c_d
+    def iteration(_, pb):
+        return ba_iteration(camera, pb, huber_px, depth_weight,
+                            huber_depth, damping)
 
-    def iteration(_, pb: BAProblem) -> BAProblem:
-        r, Jpose, Jlm, active, p = _proj_residuals(camera, pb)
-        err = jnp.linalg.norm(r, axis=-1)
-        w = jnp.where(active, _huber_w(err, huber_px), 0.0)  # [K, L]
-
-        r_d, Jpose_d, Jlm_d, active_d = _depth_residuals(pb, p)
-        w_d = jnp.where(active_d,
-                        depth_weight * _huber_w(jnp.abs(r_d), huber_depth),
-                        0.0)
-
-        # Hessian blocks (reprojection + depth prior).
-        Hpp = (jnp.einsum("kl,klri,klrj->kij", w, Jpose, Jpose)
-               + jnp.einsum("kl,kli,klj->kij", w_d, Jpose_d, Jpose_d))
-        Hll = (jnp.einsum("kl,klri,klrj->lij", w, Jlm, Jlm)
-               + jnp.einsum("kl,kli,klj->lij", w_d, Jlm_d, Jlm_d))
-        Hpl = (jnp.einsum("kl,klri,klrj->klij", w, Jpose, Jlm)
-               + jnp.einsum("kl,kli,klj->klij", w_d, Jpose_d, Jlm_d))
-        bp = (jnp.einsum("kl,klri,klr->ki", w, Jpose, r)
-              + jnp.einsum("kl,kli,kl->ki", w_d, Jpose_d, r_d))
-        bl = (jnp.einsum("kl,klri,klr->li", w, Jlm, r)
-              + jnp.einsum("kl,kli,kl->li", w_d, Jlm_d, r_d))
-
-        # damping + guard for unobserved landmarks
-        obs_cnt = jnp.sum(w, axis=0) + jnp.sum(w_d, axis=0)
-        lm_free = (obs_cnt > 0) & pb.lm_valid
-        Hll = Hll + (damping + 1e-8) * jnp.eye(3, dtype=Hll.dtype)
-        Hll = jnp.where(lm_free[:, None, None], Hll,
-                        jnp.eye(3, dtype=Hll.dtype))
-        bl = jnp.where(lm_free[:, None], bl, 0.0)
-        Hpp = Hpp + damping * jnp.eye(6, dtype=Hpp.dtype)
-
-        Hll_inv = jnp.linalg.inv(Hll)  # [L, 3, 3] tiny blocks
-        W = jnp.einsum("klij,ljm->klim", Hpl, Hll_inv)  # [K, L, 6, 3]
-
-        S_cross = jnp.einsum("klim,qljm->kqij", W, Hpl)  # [K, K, 6, 6]
-        S = -S_cross
-        S = S.at[jnp.arange(K), jnp.arange(K)].add(Hpp)
-        b_red = bp - jnp.einsum("klim,lm->ki", W, bl)  # [K, 6]
-
-        # gauge: fixed poses get identity rows/cols and zero gradient
-        fix = pb.fixed
-        S = jnp.where(fix[:, None, None, None] | fix[None, :, None, None],
-                      0.0, S)
-        S = S.at[jnp.arange(K), jnp.arange(K)].add(
-            jnp.where(fix[:, None, None], jnp.eye(6, dtype=S.dtype), 0.0))
-        b_red = jnp.where(fix[:, None], 0.0, b_red)
-
-        Sd = S.transpose(0, 2, 1, 3).reshape(6 * K, 6 * K)
-        dxi = -jnp.linalg.solve(Sd, b_red.reshape(-1)).reshape(K, 6)
-        dxi = jnp.where(fix[:, None], 0.0, dxi)
-
-        # back-substitute landmarks
-        rhs = -bl - jnp.einsum("klij,ki->lj", Hpl, dxi)
-        dl = jnp.einsum("lij,lj->li", Hll_inv, rhs)
-        dl = jnp.where(lm_free[:, None], dl, 0.0)
-
-        dR, dt = se3_exp(dxi)
-        R_new = dR @ pb.R
-        t_new = jnp.einsum("kij,kj->ki", dR, pb.t) + dt
-        return pb._replace(R=R_new, t=t_new,
-                           landmarks=pb.landmarks + dl)
-
-    c0 = cost(problem)
+    c0 = ba_cost(camera, problem, huber_px, depth_weight, huber_depth)
     out = jax.lax.fori_loop(0, iters, iteration, problem)
-    c1 = cost(out)
+    c1 = ba_cost(camera, out, huber_px, depth_weight, huber_depth)
     return BAResult(problem=out, initial_cost=c0, final_cost=c1)

@@ -1,0 +1,96 @@
+"""Distribution tests on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mono_lidar_depth_tpu import DepthEstimatorConfig, PinholeCamera, SE3
+from mono_lidar_depth_tpu.dist import (
+    distributed_ba, frame_sharding, make_mesh, sharded_depth_association)
+from mono_lidar_depth_tpu.vo.ba import run_ba
+
+CAM = PinholeCamera(width=640, height=480, focal_length=500.0,
+                    cx=320.0, cy=240.0)
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(8)
+    assert mesh.shape == {"frame": 8, "landmark": 1}
+    mesh2 = make_mesh(8, landmark_parallel=4)
+    assert mesh2.shape == {"frame": 2, "landmark": 4}
+
+
+def test_sharded_depth_association_matches_single():
+    cfg = DepthEstimatorConfig(
+        max_points=2048, max_features=64, image_width=256, image_height=128,
+        ransac_num_hypotheses=128, ransac_subsample_points=512)
+    cam = PinholeCamera(256, 128, 200.0, 128.0, 64.0)
+    T = SE3.identity()
+    mesh = make_mesh(8)
+    B = 8
+    rng = np.random.default_rng(0)
+    clouds = jnp.asarray(rng.uniform(
+        [-10, -5, 2], [10, 5, 50], (B, 2048, 3)).astype(np.float32))
+    cvalids = jnp.ones((B, 2048), bool)
+    feats = jnp.asarray(rng.uniform(
+        [2, 2], [254, 126], (B, 64, 2)).astype(np.float32))
+    fvalids = jnp.ones((B, 64), bool)
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+
+    step = sharded_depth_association(cfg, cam, T, mesh)
+    clouds_s = jax.device_put(clouds, frame_sharding(mesh))
+    depths, codes, counters = step(clouds_s, cvalids, feats, fvalids, keys)
+    assert depths.shape == (B, 64)
+    assert int(counters.sum()) == B * 64
+
+    # single-device reference result must match exactly
+    from mono_lidar_depth_tpu import estimate_depths, fit_ground_plane_ransac
+    for b in (0, 3, 7):
+        gp = fit_ground_plane_ransac(
+            clouds[b], cvalids[b], keys[b],
+            distance_threshold=cfg.ransac_plane_distance_treshold,
+            num_hypotheses=cfg.ransac_num_hypotheses,
+            subsample=cfg.ransac_subsample_points,
+            use_refinement=cfg.ransac_plane_use_refinement,
+            refinement_threshold=cfg.ransac_plane_refinement_treshold)
+        ref = estimate_depths(cfg, cam, T, clouds[b], cvalids[b],
+                              feats[b], fvalids[b], gp)
+        np.testing.assert_array_equal(np.asarray(codes[b]),
+                                      np.asarray(ref.codes))
+        np.testing.assert_allclose(np.asarray(depths[b]),
+                                   np.asarray(ref.depths), atol=1e-5)
+
+
+def test_distributed_ba_matches_single(rng):
+    from test_vo import _ba_problem as make_problem
+
+    problem, R_gt, t_gt, X_gt = make_problem(rng, K=4, L=128)
+    single = run_ba(CAM, problem, iters=6)
+
+    mesh = make_mesh(8, landmark_parallel=8)
+    solver = distributed_ba(CAM, mesh, iters=6)
+    dist = solver(problem)
+
+    np.testing.assert_allclose(float(dist.final_cost),
+                               float(single.final_cost), rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(dist.problem.R),
+                               np.asarray(single.problem.R), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dist.problem.t),
+                               np.asarray(single.problem.t), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(dist.problem.landmarks),
+                               np.asarray(single.problem.landmarks),
+                               atol=1e-2)
+
+
+def test_distributed_ba_converges(rng):
+    from test_vo import _ba_problem as make_problem
+
+    problem, R_gt, t_gt, X_gt = make_problem(rng, K=4, L=128)
+    mesh = make_mesh(4, landmark_parallel=4)
+    solver = distributed_ba(CAM, mesh, iters=10)
+    res = solver(problem)
+    assert float(res.final_cost) < 0.1 * float(res.initial_cost)
+    for k in range(1, 4):
+        dR = np.asarray(res.problem.R[k]) @ R_gt[k].T
+        ang = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+        assert ang < 0.3
