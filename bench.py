@@ -34,6 +34,10 @@ def main() -> None:
     cfg = DepthEstimatorConfig.from_yaml(
         "/root/reference/monolidar_fusion/parameters.yaml") \
         if _reference_yaml_exists() else DepthEstimatorConfig()
+    # The reference cannot actually run with region growing enabled
+    # (its code path throws, DepthEstimator.cpp:608), so the 10 Hz
+    # baseline excludes it — benchmark the comparable configuration.
+    cfg = cfg.replace(do_use_depth_segmentation=False)
     cam = PinholeCamera(width=1226, height=370, focal_length=707.0,
                         cx=601.8, cy=183.1)
     R_lc = np.array([[0, -1, 0], [0, 0, -1], [1, 0, 0]], dtype=np.float32)

@@ -48,15 +48,6 @@ _ACCEPTED_UNUSED = {
     "radiusSearch_radius",
     "pixelarea_search_offset_x",
     "pixelarea_search_offset_y",
-    "do_use_depth_segmentation",
-    "depth_segmentation_max_treshold_gradient",
-    "depth_segmentation_max_neighbor_distance",
-    "depth_segmentation_max_neighbor_distance_gradient",
-    "depth_segmentation_max_neighbor_to_seedpoint_distance",
-    "depth_segmentation_max_seedpoint_to_seedpoint_distance_gradient",
-    "depth_segmentation_max_seedpoint_to_seedpoint_distance",
-    "depth_segmentation_max_neighbor_to_seedpoint_distance_gradient",
-    "depth_segmentation_max_pointcount",
     "pca_debug",
     "do_debug_singleFeatures",
     "do_publish_points",
@@ -84,6 +75,22 @@ class DepthEstimatorConfig:
     do_use_histogram_segmentation: bool = True
     histogram_segmentation_bin_witdh: float = 0.3
     histogram_segmentation_min_pointcount: int = 3
+
+    # --- Region growing / scan-row depth segmentation.  The reference
+    # wires this feature but its code path throws
+    # (DepthEstimator.cpp:608); this build implements it
+    # (core/row_segmentation.py).  Off by default for reference parity.
+    do_use_depth_segmentation: bool = False
+    depth_segmentation_max_treshold_gradient: float = 10.0
+    depth_segmentation_max_neighbor_distance: float = 0.2
+    depth_segmentation_max_neighbor_distance_gradient: float = 0.02
+    depth_segmentation_max_seedpoint_to_seedpoint_distance: float = 0.5
+    depth_segmentation_max_seedpoint_to_seedpoint_distance_gradient: float = 0.05
+    depth_segmentation_max_neighbor_to_seedpoint_distance: float = 0.5
+    depth_segmentation_max_neighbor_to_seedpoint_distance_gradient: float = 0.05
+    depth_segmentation_max_pointcount: int = 4
+    max_scan_rows: int = 128  # static row capacity (Velodyne: 64)
+    region_grow_window: int = 32  # static per-row growth window (cells)
 
     # --- Global depth threshold (TresholdDepthGlobal.cpp:16-36).
     treshold_depth_enabled: bool = True

@@ -129,61 +129,70 @@ def estimate_depths(
     else:  # DepthEstimator.cpp:762-764: use all neighbors
         seg_mask, hist_found = nb1.mask, jnp.ones((N,), bool)
 
-    use_triangle = (not cfg.do_use_PCA) and cfg.do_use_triangle_size_maximation
-    if use_triangle:
-        tri = max_spanning_triangle(nb1.points_cam, seg_mask)
-        tri_fail_code = jnp.int32(R.TriangleNotPlanarInsufficientPoints)
-    else:
-        tri = first_three_points(nb1.points_cam, seg_mask)
-        tri_fail_code = jnp.int32(R.HistogramNoLocalMax)  # DepthEstimator.cpp:920-921
-
-    if (not cfg.do_use_PCA) and cfg.do_check_triangleplanar_condition:
-        planar_ok = check_planar(tri.corners, cfg.triangleplanar_crossnorm_treshold)
-    else:
-        planar_ok = jnp.ones((N,), bool)
-
-    if cfg.do_use_PCA:
-        pca = pca_classify(nb1.points_cam, seg_mask,
-                           cfg.pca_treshold_3_abs_min,
-                           cfg.pca_treshold_3_2_rel_max,
-                           cfg.pca_treshold_2_1_rel_min)
-        normal, anchor = pca.normal, pca.anchor
-        n_unit = normal
-        offset = -jnp.sum(n_unit * anchor, axis=-1)
-    else:
-        n_unit, offset = plane_from_points(
-            tri.corners[:, 0], tri.corners[:, 1], tri.corners[:, 2])
-
-    # Orthogonality gate (LinePlaneIntersectionOrthogonalTreshold.cpp:16-48)
-    # — only on the primary path, only when the threshold is > 0.
-    cosang = jnp.abs(jnp.sum(n_unit * ray_dir, axis=-1))
-    if cfg.viewray_plane_orthoganality_treshold > 0:
-        ortho_ok = cosang >= cfg.viewray_plane_orthoganality_treshold
-    else:
-        ortho_ok = jnp.ones((N,), bool)
-
-    _, depth_p = ray_plane_intersection(n_unit, offset, ray_origin, ray_dir)
-    depth_p, gate_code_p = _apply_depth_gates(cfg, depth_p, depth1, seg_mask)
-
-    # Primary select cascade: per-lane the FIRST failure in the
-    # reference's execution order (DepthEstimator.cpp:491-600 + :903-1037)
-    # wins, so overrides are applied lowest-precedence first.
-    code_p = jnp.full((N,), jnp.int32(R.Success))
-    code_p = jnp.where(gate_code_p != 0, gate_code_p, code_p)
-    code_p = jnp.where(ortho_ok, code_p, jnp.int32(R.PlaneViewrayNotOrthogonal))
-    if cfg.do_use_PCA:
-        code_p = jnp.where(pca.is_cubic, jnp.int32(R.PcaIsCubic), code_p)
-        code_p = jnp.where(pca.is_linear, jnp.int32(R.PcaIsLine), code_p)
-        code_p = jnp.where(pca.is_point, jnp.int32(R.PcaIsPoint), code_p)
-    else:
-        code_p = jnp.where(planar_ok, code_p, jnp.int32(R.TriangleNotPlanar))
-    code_p = jnp.where(tri.ok, code_p, tri_fail_code)
+    depth_p, code_p = _segment_depth(
+        cfg, nb1.points_cam, seg_mask, ray_dir, ray_origin,
+        check_planar_enabled=cfg.do_check_triangleplanar_condition)
     code_p = jnp.where(hist_found, code_p, jnp.int32(R.HistogramNoLocalMax))
     code_p = jnp.where(enough1, code_p, jnp.int32(R.RadiusSearchInsufficientPoints))
 
     primary_success = code_p == jnp.int32(R.Success)
     depth_primary = jnp.where(primary_success, depth_p, -1.0)
     # Adjust-mode clamps still count as success with modified depth.
+
+    # ---- region growing (optional fast path) ---------------------------
+    # The reference wires this feature but its entry point throws
+    # (DepthEstimator.cpp:608); here it WORKS (core/row_segmentation.py).
+    # Semantics per DepthEstimator.cpp:513-558: seed = minimum-depth
+    # window neighbor; hard returns when no seed exists (code 3) or the
+    # seed depth exceeds the global max (code 4); a successful grow +
+    # segment-depth yields SuccessRegionGrowing and wins over the
+    # primary path; any region failure falls through to the primary
+    # result (the reference's codes 17-19 are always overwritten by the
+    # later stages and never surface — replicated by falling through).
+    if cfg.do_use_depth_segmentation:
+        from .histogram import nearest_point
+        from .row_segmentation import grow_regions, segment_rows
+
+        rows = segment_rows(frame, cfg.max_scan_rows)
+        seed_k, has_any = nearest_point(depth1, nb1.mask)
+        seed_raw = jnp.take_along_axis(nb1.indices, seed_k[:, None], 1)[:, 0]
+        seed_z = jnp.take_along_axis(depth1, seed_k[:, None], 1)[:, 0]
+        seed_in_range = seed_z <= cfg.treshold_depth_max
+        grow = grow_regions(
+            rows, seed_raw, has_any & seed_in_range, features_uv,
+            max_dist_threshold=cfg.depth_segmentation_max_treshold_gradient,
+            seed_to_seed_start=cfg.depth_segmentation_max_seedpoint_to_seedpoint_distance,
+            seed_to_seed_gradient=cfg.depth_segmentation_max_seedpoint_to_seedpoint_distance_gradient,
+            neighbor_to_seed_start=cfg.depth_segmentation_max_neighbor_to_seedpoint_distance,
+            neighbor_to_seed_gradient=cfg.depth_segmentation_max_neighbor_to_seedpoint_distance_gradient,
+            neighbor_start=cfg.depth_segmentation_max_neighbor_distance,
+            neighbor_gradient=cfg.depth_segmentation_max_neighbor_distance_gradient,
+            max_pointcount=cfg.depth_segmentation_max_pointcount,
+            window=cfg.region_grow_window)
+        safe_raw = jnp.clip(grow.raw_indices, 0, frame.points_cam.shape[0] - 1)
+        rg_points = jnp.where(grow.mask[..., None],
+                              jnp.take(frame.points_cam, safe_raw, axis=0), 0.0)
+        # planarity check disabled on the region path
+        # (DepthEstimator.cpp:551 passes checkPlanar=false)
+        depth_rg, code_rg = _segment_depth(
+            cfg, rg_points, grow.mask, ray_dir, ray_origin,
+            check_planar_enabled=False)
+        rg_success = (grow.status == 1) & (code_rg == jnp.int32(R.Success))
+        code_p = jnp.where(rg_success & enough1,
+                           jnp.int32(R.SuccessRegionGrowing), code_p)
+        depth_primary = jnp.where(rg_success & enough1, depth_rg,
+                                  depth_primary)
+        # hard returns of the region branch
+        no_seed = enough1 & ~has_any
+        too_deep = enough1 & has_any & ~seed_in_range
+        code_p = jnp.where(no_seed, jnp.int32(R.HistogramNoLocalMax), code_p)
+        code_p = jnp.where(
+            too_deep, jnp.int32(R.TresholdDepthGlobalGreaterMax), code_p)
+        depth_primary = jnp.where(no_seed | too_deep, -1.0, depth_primary)
+        primary_success = (code_p == jnp.int32(R.Success)) | (
+            code_p == jnp.int32(R.SuccessRegionGrowing))
+        # the hard returns also skip the road fallback
+        primary_success = primary_success | no_seed | too_deep
 
     # ---- road fallback -------------------------------------------------
     if cfg.do_use_ransac_plane:
@@ -197,6 +206,67 @@ def estimate_depths(
     depth_f = jnp.where(features_valid, depth_f, -1.0)
     return DepthEstimate(depths=depth_f, codes=code_f,
                          counters=_count(code_f, features_valid))
+
+
+def _segment_depth(cfg, points, seg_mask, ray_dir, ray_origin,
+                   check_planar_enabled: bool):
+    """Depth from a segmented point set — the CalculateDepthSegmented
+    state machine (DepthEstimator.cpp:903-1037) as a select cascade:
+    triangle/first-3/PCA plane, planarity + orthogonality gates, ray
+    intersection, global/local depth gates, behind-camera check.
+
+    Returns (depth [N], code [N]) with code Success where all gates
+    pass; the caller layers its own earlier-stage failure codes on top.
+    """
+    N = ray_dir.shape[0]
+    use_triangle = (not cfg.do_use_PCA) and cfg.do_use_triangle_size_maximation
+    if use_triangle:
+        tri = max_spanning_triangle(points, seg_mask)
+        tri_fail_code = jnp.int32(R.TriangleNotPlanarInsufficientPoints)
+    else:
+        tri = first_three_points(points, seg_mask)
+        tri_fail_code = jnp.int32(R.HistogramNoLocalMax)  # DepthEstimator.cpp:920-921
+
+    if (not cfg.do_use_PCA) and check_planar_enabled:
+        planar_ok = check_planar(tri.corners,
+                                 cfg.triangleplanar_crossnorm_treshold)
+    else:
+        planar_ok = jnp.ones((N,), bool)
+
+    if cfg.do_use_PCA:
+        pca = pca_classify(points, seg_mask,
+                           cfg.pca_treshold_3_abs_min,
+                           cfg.pca_treshold_3_2_rel_max,
+                           cfg.pca_treshold_2_1_rel_min)
+        n_unit = pca.normal
+        offset = -jnp.sum(n_unit * pca.anchor, axis=-1)
+    else:
+        n_unit, offset = plane_from_points(
+            tri.corners[:, 0], tri.corners[:, 1], tri.corners[:, 2])
+
+    # Orthogonality gate (LinePlaneIntersectionOrthogonalTreshold.cpp:16-48).
+    cosang = jnp.abs(jnp.sum(n_unit * ray_dir, axis=-1))
+    if cfg.viewray_plane_orthoganality_treshold > 0:
+        ortho_ok = cosang >= cfg.viewray_plane_orthoganality_treshold
+    else:
+        ortho_ok = jnp.ones((N,), bool)
+
+    _, depth = ray_plane_intersection(n_unit, offset, ray_origin, ray_dir)
+    depth, gate_code = _apply_depth_gates(cfg, depth, points[..., 2], seg_mask)
+
+    # Select cascade: the FIRST failure in the reference's execution
+    # order wins, so overrides are applied lowest-precedence first.
+    code = jnp.full((N,), jnp.int32(R.Success))
+    code = jnp.where(gate_code != 0, gate_code, code)
+    code = jnp.where(ortho_ok, code, jnp.int32(R.PlaneViewrayNotOrthogonal))
+    if cfg.do_use_PCA:
+        code = jnp.where(pca.is_cubic, jnp.int32(R.PcaIsCubic), code)
+        code = jnp.where(pca.is_linear, jnp.int32(R.PcaIsLine), code)
+        code = jnp.where(pca.is_point, jnp.int32(R.PcaIsPoint), code)
+    else:
+        code = jnp.where(planar_ok, code, jnp.int32(R.TriangleNotPlanar))
+    code = jnp.where(tri.ok, code, tri_fail_code)
+    return depth, code
 
 
 def _road_pass(cfg, camera, frame: FrameCloud, features_uv, ray_origin,
