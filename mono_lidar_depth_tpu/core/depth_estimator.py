@@ -39,7 +39,7 @@ import jax.numpy as jnp
 from ..config import DepthEstimatorConfig
 from .geometry import SE3, PinholeCamera, plane_from_points, point_plane_distance, ray_plane_intersection
 from .histogram import filter_points_min_dist_blob
-from .neighbors import gather_neighbors
+from .neighbors import gather_neighbors, gather_neighbors_two_scales
 from .planefit import (check_planar, check_xz_flatness, first_three_points,
                        least_squares_plane, max_spanning_triangle,
                        pca_classify)
@@ -115,7 +115,15 @@ def estimate_depths(
     # ---- primary pass --------------------------------------------------
     hx = cfg.pixelarea_search_witdh * 0.5
     hy = cfg.pixelarea_search_height * 0.5
-    nb1 = gather_neighbors(frame, features_uv, hx, hy, cfg.primary_window)
+    if cfg.do_use_ransac_plane:
+        # one HBM gather serves both search scales
+        nb1, nb2 = gather_neighbors_two_scales(
+            frame, features_uv, hx, hy,
+            cfg.road_search_scale_x, cfg.road_search_scale_y,
+            cfg.primary_window, cfg.road_window)
+    else:
+        nb1 = gather_neighbors(frame, features_uv, hx, hy, cfg.primary_window)
+        nb2 = None
     enough1 = nb1.count >= cfg.radiusSearch_count_min
 
     depth1 = nb1.points_cam[..., 2]
@@ -197,7 +205,7 @@ def estimate_depths(
     # ---- road fallback -------------------------------------------------
     if cfg.do_use_ransac_plane:
         code_f, depth_f = _road_pass(
-            cfg, camera, frame, features_uv, ray_origin, ray_dir,
+            cfg, nb2, lidar_to_cam, ray_origin, ray_dir,
             ground_plane, code_p, depth_primary, enough1, primary_success)
     else:
         code_f, depth_f = code_p, depth_primary
@@ -269,40 +277,40 @@ def _segment_depth(cfg, points, seg_mask, ray_dir, ray_origin,
     return depth, code
 
 
-def _road_pass(cfg, camera, frame: FrameCloud, features_uv, ray_origin,
+def _road_pass(cfg, nb2, lidar_to_cam: SE3, ray_origin,
                ray_dir, gp: GroundPlane, code_p, depth_primary,
                enough1, primary_success):
     """Road-feature fallback (DepthEstimator.cpp:578-597 + :782-900 +
     RoadDepthEstimator*.cpp)."""
-    N = features_uv.shape[0]
-    hx = cfg.pixelarea_search_witdh * 0.5 * cfg.road_search_scale_x
-    hy = cfg.pixelarea_search_height * 0.5 * cfg.road_search_scale_y
-    nb2 = gather_neighbors(frame, features_uv, hx, hy, cfg.road_window)
+    N = ray_dir.shape[0]
     enough2 = nb2.count >= cfg.radiusSearch_count_min
 
-    # Ground-plane distances in the LIDAR frame (the reference maps each
-    # camera-frame neighbor back with _transform_cam_to_lidar,
-    # DepthEstimator.cpp:810-812; we gather the stored lidar-frame points
-    # by raw index instead — same values, no extra transform).
-    safe_idx = jnp.clip(nb2.indices, 0, frame.points_lidar.shape[0] - 1)
-    pts_lidar = jnp.take(frame.points_lidar, safe_idx, axis=0)
-    gp_dist = point_plane_distance(pts_lidar, gp.coeffs)
+    # Ground-plane distances: the reference maps each camera-frame
+    # neighbor back to the lidar frame (DepthEstimator.cpp:810-812);
+    # a rigid transform preserves point-plane distance, so we instead
+    # transform the PLANE once into the camera frame (n_c = R n_l,
+    # d_c = d_l - n_c·t) and reuse the already-gathered camera-frame
+    # points — identical values, one [4]-vector transform instead of an
+    # [N, K, 3] gather.
+    n_c = (lidar_to_cam.rotation @ gp.coeffs[:3][..., None])[..., 0]
+    d_c = gp.coeffs[3] - jnp.sum(n_c * lidar_to_cam.translation)
+    coeffs_cam = jnp.concatenate([n_c, d_c[None]])
+    gp_dist = point_plane_distance(nb2.points_cam, coeffs_cam)
     any_far = jnp.any(
         nb2.mask & (gp_dist > cfg.ransac_plane_point_distance_treshold), axis=-1)
 
+    safe_idx = jnp.clip(nb2.indices, 0, gp.inlier_mask.shape[0] - 1)
     road_mask = nb2.mask & jnp.take(gp.inlier_mask, safe_idx, axis=0)
     road_count = jnp.sum(road_mask, axis=-1)
     road_seg_ok = ~any_far & (road_count >= 3)
 
     if cfg.plane_estimator_use_mestimator:
-        # Prior weights: distance of each (lidar-frame) neighbor to the
-        # (lidar-frame) ground plane — geometrically what the reference
-        # intends; see the frame-mix note in the module docstring.  The
-        # fit itself runs on camera-frame points, like the reference.
-        prior_dist = jnp.abs(
-            jnp.sum(pts_lidar * gp.coeffs[:3], axis=-1) + gp.coeffs[3])
+        # Prior weights: distance of each neighbor to the ground plane
+        # (frame-independent; see the frame-mix note in the module
+        # docstring).  The fit runs on camera-frame points, like the
+        # reference.
         road_normal, road_anchor, fit_ok = _mestimator_from_distances(
-            nb2.points_cam, road_mask, prior_dist)
+            nb2.points_cam, road_mask, gp_dist)
     elif cfg.plane_estimator_use_leastsquares:
         ls = least_squares_plane(nb2.points_cam, road_mask)
         road_normal, road_anchor, fit_ok = ls.normal, ls.anchor, ls.ok

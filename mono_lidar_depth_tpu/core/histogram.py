@@ -58,6 +58,13 @@ def filter_points_min_dist_blob(
 ) -> HistogramSegmentation:
     """Segment neighbor depths by the first local-max histogram bin.
 
+    Sort-based formulation (the default): instead of scattering counts
+    into a [N, B] bin tensor and scanning B bins, sort the K bin ids per
+    feature and run the break/abort scan over the <= K occupied-bin
+    GROUPS — empty bins between groups are handled by the gap rules.
+    Equivalent outcomes (fuzz-verified against the literal-semantics
+    oracle in tests), ~2x faster on TPU (no scatter, K << B lanes).
+
     Args:
       depths: [N, K] neighbor camera-z values (only masked entries used).
       mask: [N, K] neighbor validity.
@@ -65,6 +72,84 @@ def filter_points_min_dist_blob(
       min_pointcount: histogram_segmentation_min_pointcount (>= 1).
       num_bins: static bin count B (config.histogram_bins).
     """
+    N, K = depths.shape
+    B = num_bins
+
+    # DepthEstimator.cpp:743 clamp + static-range bin clamp.
+    d = jnp.minimum(depths, 999.0)
+    bins = jnp.clip((jnp.abs(d) / bin_width).astype(jnp.int32), 0, B - 1)
+    bins_m = jnp.where(mask, bins, B)  # invalid → sentinel bin B, sorts last
+    sb = jnp.sort(bins_m, axis=1)
+    karr = jnp.broadcast_to(
+        jnp.arange(K, dtype=jnp.int32)[None, :], (N, K))
+    valid = sb < B
+    prev_sb = jnp.concatenate(
+        [jnp.full((N, 1), -1, sb.dtype), sb[:, :-1]], axis=1)
+    is_start = valid & (sb != prev_sb)
+
+    # Group run lengths: next group-start position minus own position.
+    startpos = jnp.where(is_start, karr, K)
+    suffmin = jnp.flip(jax.lax.cummin(jnp.flip(startpos, 1), axis=1), 1)
+    next_start = jnp.concatenate(
+        [suffmin[:, 1:], jnp.full((N, 1), K, jnp.int32)], axis=1)
+    n_valid = jnp.sum(valid, axis=1)
+    gcount = jnp.where(
+        is_start, jnp.minimum(next_start, n_valid[:, None]) - karr, 0)
+
+    # Scan over groups (reference loop semantics, see module docstring):
+    #   gap before a group with no max yet        → abort
+    #   gap before a group with a max             → break (at the gap)
+    #   group count below the running max         → break
+    gap_before = is_start & (prev_sb >= 0) & (sb > prev_sb + 1)
+    qual = jnp.where(is_start & (gcount >= min_pointcount), gcount, -1)
+    M = jax.lax.cummax(qual, axis=1)
+    Mprev = jnp.concatenate(
+        [jnp.full((N, 1), -1, M.dtype), M[:, :-1]], axis=1)
+    abort_b = gap_before & (Mprev == -1)
+    break_b = (gap_before & (Mprev >= 0)) | (
+        is_start & (gcount < Mprev) & ~gap_before)
+
+    fb = _first_true(break_b, K)
+    fa = _first_true(abort_b, K)
+    Mprev_at_fb = jnp.take_along_axis(
+        Mprev, jnp.minimum(fb, K - 1)[:, None], axis=1)[:, 0]
+    M_last = M[:, -1]
+    clean = (fb == K) & (fa == K)
+    # Clean scan: trailing empty bins after the last group break (max
+    # set) or abort (no max) — net: found iff a qualifying max exists.
+    found = jnp.where(fb < fa, True,
+                      jnp.where(fa < fb, False, clean & (M_last >= 0)))
+    target = jnp.where(fb < K, Mprev_at_fb, M_last)
+    cand = (is_start & (qual == target[:, None]) & (target[:, None] >= 0)
+            & (karr < jnp.minimum(fb, fa)[:, None]))
+    sel = _first_true(cand, K)
+    bin_id = jnp.take_along_axis(
+        sb, jnp.minimum(sel, K - 1)[:, None], axis=1)[:, 0]
+    found = found & jnp.any(valid, axis=1) & (sel < K)
+    bin_id = jnp.where(found, bin_id, -1)
+
+    lower = bin_id.astype(d.dtype) * bin_width
+    upper = lower + bin_width  # HistogramPointDepth.cpp:99-101
+    seg_mask = (mask & (d >= lower[:, None]) & (d < upper[:, None])
+                & found[:, None])
+    return HistogramSegmentation(
+        seg_mask=seg_mask,
+        found=found,
+        lower=jnp.where(found, lower, -1.0),
+        upper=jnp.where(found, upper, -1.0),
+        bin_id=bin_id,
+    )
+
+
+def filter_points_min_dist_blob_scatter(
+    depths: jnp.ndarray,
+    mask: jnp.ndarray,
+    bin_width: float,
+    min_pointcount: int,
+    num_bins: int,
+) -> HistogramSegmentation:
+    """Scatter-based variant (counts in a dense [N, B] tensor + bin
+    scan) — kept as the cross-check implementation for tests."""
     N, K = depths.shape
     B = num_bins
 

@@ -89,3 +89,63 @@ def gather_neighbors(
         points_cam=pts,
         count=jnp.sum(mask, axis=-1).astype(jnp.int32),
     )
+
+
+def gather_neighbors_two_scales(
+    frame: FrameCloud,
+    features_uv: jnp.ndarray,
+    half_x: float,
+    half_y: float,
+    scale_x: float,
+    scale_y: float,
+    window_small: tuple[int, int],
+    window_large: tuple[int, int],
+) -> tuple[NeighborSet, NeighborSet]:
+    """One HBM gather for both search scales.
+
+    The primary rectangle (half extents half_x/half_y) is a subrectangle
+    of the road rectangle (scaled by scale_x/scale_y >= 1), so the
+    expensive grid+point gather is done ONCE at the large window and the
+    small window is extracted with a cheap register-level
+    take_along_axis using the per-feature cell offset
+    (floor(max(u - hx, 0)) - floor(max(u - hx*sx, 0))).  Cell order of
+    both outputs stays row-major, preserving scan-order parity.
+    """
+    H, W = frame.grid.shape
+    Ky1, Kx1 = window_small
+    Ky2, Kx2 = window_large
+    big = gather_neighbors(frame, features_uv,
+                           half_x * scale_x, half_y * scale_y, window_large)
+
+    u = features_uv[..., 0]
+    v = features_uv[..., 1]
+    x0s = jnp.maximum(u - half_x, 0.0).astype(jnp.int32)
+    x1s = jnp.minimum(u + half_x, float(W - 1)).astype(jnp.int32)
+    y0s = jnp.maximum(v - half_y, 0.0).astype(jnp.int32)
+    y1s = jnp.minimum(v + half_y, float(H - 1)).astype(jnp.int32)
+    x0l = jnp.maximum(u - half_x * scale_x, 0.0).astype(jnp.int32)
+    y0l = jnp.maximum(v - half_y * scale_y, 0.0).astype(jnp.int32)
+    offx = x0s - x0l  # [N]
+    offy = y0s - y0l
+
+    dx = jnp.arange(Kx1, dtype=jnp.int32)
+    dy = jnp.arange(Ky1, dtype=jnp.int32)
+    in_x = (x0s[:, None] + dx) <= x1s[:, None]  # [N, Kx1]
+    in_y = (y0s[:, None] + dy) <= y1s[:, None]
+    sub_ok = in_y[:, :, None] & in_x[:, None, :]
+    k_map = ((offy[:, None, None] + dy[None, :, None]) * Kx2
+             + offx[:, None, None] + dx[None, None, :])  # [N, Ky1, Kx1]
+    k_map = jnp.clip(k_map, 0, Ky2 * Kx2 - 1).reshape(-1, Ky1 * Kx1)
+
+    idx_s = jnp.take_along_axis(big.indices, k_map, axis=1)
+    mask_s = (jnp.take_along_axis(big.mask, k_map, axis=1)
+              & sub_ok.reshape(-1, Ky1 * Kx1))
+    pts_s = jnp.take_along_axis(big.points_cam, k_map[..., None], axis=1)
+    pts_s = jnp.where(mask_s[..., None], pts_s, 0.0)
+    small = NeighborSet(
+        indices=jnp.where(mask_s, idx_s, POINT_NOT_DEFINED),
+        mask=mask_s,
+        points_cam=pts_s,
+        count=jnp.sum(mask_s, axis=-1).astype(jnp.int32),
+    )
+    return small, big

@@ -31,6 +31,12 @@ from .geometry import SE3, PinholeCamera
 
 POINT_NOT_DEFINED = -1  # NeighborFinderPixel.h grid sentinel
 
+# Packed nearest-wins scatter key layout: [14:0] quantized depth,
+# [16:0] raw index — usable while max_points <= 2^17.
+_IDX_BITS = 17
+_ZQ_MAX = (1 << (31 - _IDX_BITS)) - 1  # 16383
+_ZQ_RANGE = 160.0  # metres covered by the quantized depth key
+
 
 class FrameCloud(NamedTuple):
     """Per-frame point-cloud state (replaces `PointcloudData`,
@@ -97,17 +103,31 @@ def build_frame_cloud(
         # reproducing NeighborFinderPixel.cpp:51-54 for contiguous clouds.
         grid_flat = jnp.full((ncells + 1,), big, dtype=jnp.int32)
         grid_flat = grid_flat.at[flat].min(jnp.where(visible, idx, big))
+        grid_flat = jnp.where(grid_flat == big, POINT_NOT_DEFINED, grid_flat)
+    elif P <= (1 << _IDX_BITS):
+        # Nearest-wins in ONE scatter-min: pack (quantized z, raw index)
+        # into an int32 key — depth in the high bits (5 mm steps up to
+        # _ZQ_RANGE m; beyond that the global depth gate disposes of the
+        # point anyway), index in the low 17 bits.  Ties in quantized
+        # depth resolve to the lowest index — deterministic.
+        zq = jnp.clip((z * (float(_ZQ_MAX) / _ZQ_RANGE)).astype(jnp.int32),
+                      0, _ZQ_MAX)
+        key = (zq << _IDX_BITS) | idx
+        grid_flat = jnp.full((ncells + 1,), big, dtype=jnp.int32)
+        grid_flat = grid_flat.at[flat].min(jnp.where(visible, key, big))
+        grid_flat = jnp.where(grid_flat == big, POINT_NOT_DEFINED,
+                              grid_flat & ((1 << _IDX_BITS) - 1))
     else:
-        # Nearest-wins: two scatter-min passes — depth keys, then the
-        # lowest index among the depth winners (deterministic ties).
+        # Nearest-wins fallback for huge clouds: two scatter-min passes —
+        # depth keys, then the lowest index among the depth winners.
         zkey = jnp.where(visible, z.astype(jnp.float32), jnp.inf)
         grid_z = jnp.full((ncells + 1,), jnp.inf, dtype=jnp.float32)
         grid_z = grid_z.at[flat].min(zkey)
         is_winner = visible & (zkey == grid_z[flat])
         grid_flat = jnp.full((ncells + 1,), big, dtype=jnp.int32)
         grid_flat = grid_flat.at[flat].min(jnp.where(is_winner, idx, big))
+        grid_flat = jnp.where(grid_flat == big, POINT_NOT_DEFINED, grid_flat)
 
-    grid_flat = jnp.where(grid_flat == big, POINT_NOT_DEFINED, grid_flat)
     grid = grid_flat[:ncells].reshape(grid_height, grid_width)
 
     return FrameCloud(

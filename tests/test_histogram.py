@@ -138,3 +138,18 @@ def test_nearest_point():
     mask2 = mask.at[0, 0].set(False)
     idx2, ok2 = nearest_point(depths, mask2)
     assert bool(ok2[0]) and int(idx2[0]) == 1
+
+
+def test_sorted_matches_scatter_variant(rng):
+    """The default (sort-based) and scatter-based implementations must
+    agree bit-for-bit on random batch inputs."""
+    from mono_lidar_depth_tpu.core.histogram import (
+        filter_points_min_dist_blob_scatter)
+    N, K = 64, 70
+    d = jnp.asarray(rng.uniform(0.5, 90, (N, K)).astype(np.float32))
+    m = jnp.asarray(rng.random((N, K)) < 0.7)
+    a = filter_points_min_dist_blob(d, m, 0.3, 3, BINS)
+    b = filter_points_min_dist_blob_scatter(d, m, 0.3, 3, BINS)
+    np.testing.assert_array_equal(np.asarray(a.found), np.asarray(b.found))
+    np.testing.assert_array_equal(np.asarray(a.bin_id), np.asarray(b.bin_id))
+    np.testing.assert_array_equal(np.asarray(a.seg_mask), np.asarray(b.seg_mask))
