@@ -49,9 +49,12 @@ def max_spanning_triangle(points: jnp.ndarray, mask: jnp.ndarray,
     third corner; we consider all points.
     """
     N, K, _ = points.shape
-    pm = mask[..., None].astype(points.dtype)
-    diff = points[:, :, None, :] - points[:, None, :, :]
-    d2 = jnp.sum(diff * diff, axis=-1)  # [N, K, K]
+    # Pairwise squared distances via the Gram matrix — the inner products
+    # run on the MXU instead of materializing [N, K, K, 3] differences.
+    sq = jnp.sum(points * points, axis=-1)  # [N, K]
+    gram = jnp.einsum("nki,nji->nkj", points, points,
+                      preferred_element_type=points.dtype)
+    d2 = jnp.maximum(sq[:, :, None] + sq[:, None, :] - 2.0 * gram, 0.0)
     pair_ok = mask[:, :, None] & mask[:, None, :]
     iu = jnp.triu(jnp.ones((K, K), dtype=bool), k=1)
     d2_pairs = jnp.where(pair_ok & iu, d2, -1.0)
