@@ -94,8 +94,15 @@ def detect_features(
             occupied_valid, mode="drop")
         best_resp = jnp.where(occupied_mask, -jnp.inf, best_resp)
 
-    # top-N cells by response
-    top_resp, top_cell = jax.lax.top_k(best_resp, max_features)
+    # top-N cells by response (fewer cells than lanes → pad invalid)
+    k = min(max_features, gh * gw)
+    top_resp, top_cell = jax.lax.top_k(best_resp, k)
+    if k < max_features:
+        pad = max_features - k
+        top_resp = jnp.concatenate(
+            [top_resp, jnp.full((pad,), -jnp.inf, top_resp.dtype)])
+        top_cell = jnp.concatenate(
+            [top_cell, jnp.zeros((pad,), top_cell.dtype)])
     flat = best_in_cell[top_cell]
     cy = top_cell // gw
     cx = top_cell % gw

@@ -43,6 +43,15 @@ def main() -> None:
 
     from mono_lidar_depth_tpu.io.kitti import KittiSequence
 
+    root = Path(args.root)
+    if not (root / "sequences" / args.seq).exists() and args.seq == "99":
+        # sequence 99 is the built-in synthetic sequence: generate on
+        # demand so every stage runs without the real dataset
+        from mono_lidar_depth_tpu.io.synthetic_dataset import (
+            SyntheticSpec, generate_kitti_sequence)
+        print(f"generating synthetic sequence 99 under {root} ...")
+        generate_kitti_sequence(str(root), "99",
+                                SyntheticSpec(frames=args.frames or 30))
     seq = KittiSequence(args.root, args.seq)
 
     if args.mode == "depth":
