@@ -25,7 +25,8 @@ from ..core.geometry import SE3, PinholeCamera
 from ..io.kitti import KittiSequence, pad_cloud
 from ..obs.stats import DepthCalcStats, format_stats_report, success_rates
 from ..tracker.frontend import init_tracker, track_frame
-from ..tracks.pipeline import FrameInput, TrackletDepthState, process_frame
+from ..tracks.pipeline import (FrameInput, TrackletDepthState, prime_state,
+                               process_frame)
 from ..vo.metrics import ate_rmse, rpe_stats
 from ..vo.pipeline import OdometryConfig, OdometryState, odometry_step
 from ..vo.pose import estimate_pose_gn
@@ -33,9 +34,13 @@ from ..vo.pose_graph import PoseGraph, optimize_pose_graph
 
 
 def _frame_inputs(seq: KittiSequence, cfg: DepthEstimatorConfig,
-                  max_frames: Optional[int] = None):
-    """Generator of (FrameInput, image) over a sequence, driving the
-    internal tracker on the grayscale images."""
+                  max_frames: Optional[int] = None,
+                  prime: Optional[list] = None):
+    """Generator of (FrameInput, frame index) over a sequence, driving
+    the internal tracker on the grayscale images.  Frame 0 initializes
+    the tracker; if `prime` is a list, its padded cloud is appended to
+    it so the caller can prime the tracklet state (see
+    tracks.pipeline.prime_state)."""
     tracker_state = None
     prev_key = jax.random.PRNGKey(0)
     n = len(seq) if max_frames is None else min(len(seq), max_frames)
@@ -51,6 +56,8 @@ def _frame_inputs(seq: KittiSequence, cfg: DepthEstimatorConfig,
         jimg = jnp.asarray(img.astype(np.float32) / 255.0)
         if tracker_state is None:
             tracker_state = init_tracker(jimg, cfg.max_features)
+            if prime is not None:
+                prime.append((jnp.asarray(cloud), jnp.asarray(cvalid)))
             continue
         tracker_state, out = track_frame(tracker_state, jimg)
         prev_key, sub = jax.random.split(prev_key)
@@ -72,7 +79,11 @@ def eval_depth_sequence(seq: KittiSequence, cfg: DepthEstimatorConfig,
     cam = seq.calib.camera
     T = seq.calib.lidar_to_cam
     frames = 0
-    for frame, f in _frame_inputs(seq, cfg, max_frames):
+    prime: list = []
+    for frame, f in _frame_inputs(seq, cfg, max_frames, prime):
+        if prime:
+            state = prime_state(cfg, state, *prime.pop(),
+                                jax.random.PRNGKey(1234))
         state, depths, codes = process_frame(cfg, cam, T, state, frame)
         frames += 1
         if verbose and frames % 50 == 0:
@@ -102,7 +113,11 @@ def eval_vo_sequence(seq: KittiSequence, cfg: DepthEstimatorConfig,
     state = OdometryState.create(cfg, ocfg, max_tracks, max_length)
     poses = []
     frame_ids = []
-    for frame, f in _frame_inputs(seq, cfg, max_frames):
+    prime: list = []
+    for frame, f in _frame_inputs(seq, cfg, max_frames, prime):
+        if prime:
+            state = state._replace(tracklets=prime_state(
+                cfg, state.tracklets, *prime.pop(), jax.random.PRNGKey(1234)))
         state, R_cw, t_cw, diag = odometry_step(cfg, ocfg, cam, T, state,
                                                 frame)
         R_cw = np.asarray(R_cw)

@@ -77,6 +77,31 @@ class FrameInput(NamedTuple):
     rng: jax.Array  # PRNG key for the RANSAC ground plane
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def prime_state(cfg: DepthEstimatorConfig, state: TrackletDepthState,
+                cloud: jnp.ndarray, cloud_valid: jnp.ndarray,
+                key: jax.Array) -> TrackletDepthState:
+    """Install a cloud (+ its ground plane) as the 'last frame' BEFORE
+    the first processed frame, so that the previous-frame features of
+    the first tracks get real depths instead of the cold-start -1s
+    (which otherwise make the first frame's motion unobservable to the
+    VO layer)."""
+    from ..core.depth_estimator import no_ground_plane
+
+    gp = fit_ground_plane_ransac(
+        cloud, cloud_valid, key,
+        distance_threshold=cfg.ransac_plane_distance_treshold,
+        min_z=cfg.ransac_plane_min_z, max_z=cfg.ransac_plane_max_z,
+        num_hypotheses=cfg.ransac_num_hypotheses,
+        subsample=cfg.ransac_subsample_points,
+        axis_max_angle_deg=cfg.ransac_axis_max_angle_deg,
+        use_refinement=cfg.ransac_plane_use_refinement,
+        refinement_threshold=cfg.ransac_plane_refinement_treshold,
+    ) if cfg.do_use_ransac_plane else no_ground_plane(cfg.max_points)
+    return state._replace(cloud_last=cloud, cloud_last_valid=cloud_valid,
+                          gp_last=gp)
+
+
 @partial(jax.jit, static_argnames=("cfg", "camera"))
 def process_frame(
     cfg: DepthEstimatorConfig,

@@ -67,8 +67,10 @@ def test_vo_eval_end_to_end(dataset, cfg):
                           verbose=False)
     gt = seq.gt_poses[vo["frame_ids"]]
     est_len = np.linalg.norm(
-        np.diff(vo["poses"][1:, :3, 3], axis=0), axis=1).sum()
-    gt_len = np.linalg.norm(np.diff(gt[1:, :3, 3], axis=0), axis=1).sum()
-    # metric scale from lidar depth priors (skip the init-transient frame)
-    assert abs(est_len - gt_len) / gt_len < 0.12, (est_len, gt_len)
-    assert vo["rpe_rot_rmse_deg"] < 0.8
+        np.diff(vo["poses"][:, :3, 3], axis=0), axis=1).sum()
+    gt_len = np.linalg.norm(np.diff(gt[:, :3, 3], axis=0), axis=1).sum()
+    # metric scale from lidar depth priors; frame-0 priming makes even
+    # the first motion observable
+    assert abs(est_len - gt_len) / gt_len < 0.06, (est_len, gt_len)
+    assert vo["ate_rmse"] < 0.12, vo["ate_rmse"]
+    assert vo["rpe_rot_rmse_deg"] < 0.5
