@@ -35,7 +35,8 @@ from ..vo.pose_graph import PoseGraph, optimize_pose_graph
 
 def _frame_inputs(seq: KittiSequence, cfg: DepthEstimatorConfig,
                   max_frames: Optional[int] = None,
-                  prime: Optional[list] = None):
+                  prime: Optional[list] = None,
+                  pyramid_levels: int = 4):
     """Generator of (FrameInput, frame index) over a sequence, driving
     the internal tracker on the grayscale images.  Frame 0 initializes
     the tracker; if `prime` is a list, its padded cloud is appended to
@@ -55,7 +56,8 @@ def _frame_inputs(seq: KittiSequence, cfg: DepthEstimatorConfig,
                 f"sequence {seq.sequence} has no image_0 data")
         jimg = jnp.asarray(img.astype(np.float32) / 255.0)
         if tracker_state is None:
-            tracker_state = init_tracker(jimg, cfg.max_features)
+            tracker_state = init_tracker(jimg, cfg.max_features,
+                                         levels=pyramid_levels)
             if prime is not None:
                 prime.append((jnp.asarray(cloud), jnp.asarray(cvalid)))
             continue
@@ -147,20 +149,39 @@ def eval_vo_sequence(seq: KittiSequence, cfg: DepthEstimatorConfig,
     return out
 
 
-def propose_loop_closures(positions: np.ndarray, min_gap: int = 100,
+def propose_loop_closures(poses: np.ndarray, min_gap: int = 100,
                           radius: float = 10.0, stride: int = 5,
+                          max_heading_deg: float = 45.0,
                           max_candidates: int = 50) -> list[tuple[int, int]]:
-    """Proximity-based loop-closure candidates over a trajectory
-    ([F, 3] positions): pairs (i, j), j - i >= min_gap, |p_i - p_j| <
-    radius, subsampled and deduplicated by revisit segment."""
+    """Loop-closure candidates over a trajectory.
+
+    Accepts [F, 4, 4] poses (or [F, 3] positions — then no heading
+    filter): pairs (i, j) with j - i >= min_gap, |p_i - p_j| < radius,
+    and relative heading below `max_heading_deg` (KLT verification can
+    only match similar viewpoints; opposite-direction passes are
+    skipped rather than wasted on doomed verification)."""
+    poses = np.asarray(poses)
+    if poses.ndim == 3:
+        positions = poses[:, :3, 3]
+        rots = poses[:, :3, :3]
+    else:
+        positions = poses
+        rots = None
     cands = []
     last_j = -10 * stride
     for j in range(0, len(positions), stride):
         best = None
         for i in range(0, j - min_gap, stride):
             d = np.linalg.norm(positions[i] - positions[j])
-            if d < radius and (best is None or d < best[0]):
-                best = (d, i)
+            if d >= radius or (best is not None and d >= best[0]):
+                continue
+            if rots is not None:
+                rel = rots[i].T @ rots[j]
+                ang = np.degrees(np.arccos(
+                    np.clip((np.trace(rel) - 1) / 2, -1, 1)))
+                if ang > max_heading_deg:
+                    continue
+            best = (d, i)
         if best is not None and j - last_j >= 4 * stride:
             cands.append((best[1], j))
             last_j = j

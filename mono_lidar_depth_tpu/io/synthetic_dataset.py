@@ -82,12 +82,14 @@ def _cast(origins: np.ndarray, dirs: np.ndarray, z_end: float
             consider(t, (d[:, 0] != 0) & (p[:, 1] >= WALL_Y_TOP)
                      & (p[:, 1] <= GROUND_Y) & (p[:, 2] < front_z),
                      p[:, 2], p[:, 1], salt)
-        # front wall: z = front_z
-        t = (front_z - o[:, 2]) / d[:, 2]
-        p = o + t[:, None] * d
-        consider(t, (d[:, 2] != 0) & (np.abs(p[:, 0]) <= WALL_X)
-                 & (p[:, 1] >= WALL_Y_TOP) & (p[:, 1] <= GROUND_Y),
-                 p[:, 0], p[:, 1], 900.0)
+        # front wall: z = front_z; back wall: z = -20 (for loop
+        # trajectories looking backward down the corridor)
+        for fz, salt in ((front_z, 900.0), (-20.0, 1200.0)):
+            t = (fz - o[:, 2]) / d[:, 2]
+            p = o + t[:, None] * d
+            consider(t, (d[:, 2] != 0) & (np.abs(p[:, 0]) <= WALL_X)
+                     & (p[:, 1] >= WALL_Y_TOP) & (p[:, 1] <= GROUND_Y),
+                     p[:, 0], p[:, 1], salt)
     return best_t, shade
 
 
@@ -104,6 +106,9 @@ class SyntheticSpec:
     elev_min: float = np.radians(-18.0)
     elev_max: float = np.radians(3.0)
     azim_half: float = np.radians(42.0)
+    # "loop" trajectory: drive forward, U-turn, drive back, U-turn —
+    # ends revisiting the start with the same heading (closure-able).
+    loop: bool = False
 
 
 # KITTI-style cam←lidar: lidar x forward, y left, z up.
@@ -131,9 +136,22 @@ def generate_kitti_sequence(root: str, sequence: str = "99",
     poses = []
     R_wc = np.eye(3)
     c = np.zeros(3)
+    if spec.loop:
+        # out-and-back: straight, U-turn, straight back (offset one
+        # lane), U-turn, then a straight TAIL retracing the first leg
+        # with the same heading — same-viewpoint revisits for loop
+        # closure.
+        turn = max(10, spec.frames // 4)
+        tail = max(6, spec.frames // 6)
+        straight = max(1, (spec.frames - 2 * turn - tail) // 2)
+        yaw_plan = ([0.0] * straight + [np.pi / turn] * turn
+                    + [0.0] * straight + [np.pi / turn] * turn)
+        yaw_plan += [0.0] * (spec.frames - len(yaw_plan))
+    else:
+        yaw_plan = [spec.yaw_rate] * spec.frames
     for k in range(spec.frames):
         poses.append((R_wc.copy(), c.copy()))
-        yaw = spec.yaw_rate
+        yaw = yaw_plan[k]
         dR = np.array([[np.cos(yaw), 0, np.sin(yaw)], [0, 1, 0],
                        [-np.sin(yaw), 0, np.cos(yaw)]])
         R_wc = R_wc @ dR

@@ -33,6 +33,7 @@ class TrackerState(NamedTuple):
     age: jnp.ndarray  # [N] frames observed
     valid: jnp.ndarray  # [N]
     next_id: jnp.ndarray  # scalar int32
+    flow: jnp.ndarray  # [N, 2] last frame's image flow (motion prior)
 
 
 class TrackerOutput(NamedTuple):
@@ -50,7 +51,8 @@ def init_tracker(img: jnp.ndarray, max_features: int, levels: int = 3,
     return TrackerState(
         pyramid=pyr, uv=uv, ids=ids,
         age=jnp.where(ok, 1, 0).astype(jnp.int32),
-        valid=ok, next_id=jnp.int32(max_features))
+        valid=ok, next_id=jnp.int32(max_features),
+        flow=jnp.zeros((max_features, 2), jnp.float32))
 
 
 @partial(jax.jit, static_argnames=("cell_size", "patch", "iters"))
@@ -60,8 +62,17 @@ def track_frame(state: TrackerState, img: jnp.ndarray,
     """Advance the tracker by one frame."""
     N = state.uv.shape[0]
     pyr_next = tuple(build_pyramid(img, len(state.pyramid)))
+    # constant-velocity warm start: last frame's flow (plus the median
+    # flow for lanes with no history — fresh detections during fast
+    # motion inherit the camera's dominant image motion)
+    has_hist = state.valid & (jnp.sum(jnp.abs(state.flow), axis=1) > 0)
+    med_flow = jnp.nanmedian(
+        jnp.where(has_hist[:, None], state.flow, jnp.nan), axis=0)
+    med_flow = jnp.nan_to_num(med_flow)
+    lane_flow = jnp.where(has_hist[:, None], state.flow, med_flow[None, :])
     uv_t, ok = track_features(state.pyramid, pyr_next, state.uv, state.valid,
-                              patch=patch, iters=iters)
+                              patch=patch, iters=iters,
+                              uv_guess=state.uv + lane_flow)
     survived = ok & state.valid
 
     # Replenish: detect in cells not already occupied by survivors.
@@ -98,6 +109,9 @@ def track_frame(state: TrackerState, img: jnp.ndarray,
         uv_new=uv_t,
         uv_prev=state.uv,
     )
+    flow = jnp.where(survived[:, None], uv_t - state.uv, 0.0)
+    flow = flow.at[lane].set(0.0, mode="drop")  # fresh lanes: no history
     new_state = TrackerState(pyramid=pyr_next, uv=uv_out, ids=ids,
-                             age=age, valid=valid, next_id=next_id)
+                             age=age, valid=valid, next_id=next_id,
+                             flow=flow)
     return new_state, out

@@ -99,6 +99,7 @@ def track_features(
     min_det: float = 1e-4,
     min_ncc: float = 0.6,
     fb_threshold: float = 1.0,
+    uv_guess: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Track features from prev to next frame.
 
@@ -110,10 +111,17 @@ def track_features(
         check alone cannot reject a tracker that never moved (stuck in
         a local optimum, trivially FB-consistent).
 
+    `uv_guess` optionally warm-starts the search (e.g. motion-model
+    prediction) — essential for large inter-frame flows (fast turns)
+    that exceed the pyramid's convergence basin from a zero-flow start.
+
     Returns (uv_next [N, 2], ok [N]).
     """
-    uv_f, ok_f = _pyramidal(prev_pyr, next_pyr, uv, patch, iters, min_det)
-    uv_b, ok_b = _pyramidal(next_pyr, prev_pyr, uv_f, patch, iters, min_det)
+    uv_f, ok_f = _pyramidal(prev_pyr, next_pyr, uv, patch, iters, min_det,
+                            guess=uv_guess)
+    # backward pass: the expected landing point is the forward start
+    uv_b, ok_b = _pyramidal(next_pyr, prev_pyr, uv_f, patch, iters, min_det,
+                            guess=uv)
     fb_err = jnp.linalg.norm(uv_b - uv, axis=1)
     H, W = next_pyr[0].shape
     in_img = ((uv_f[:, 0] > 1) & (uv_f[:, 0] < W - 2)
@@ -136,11 +144,10 @@ def _zncc(a: jnp.ndarray, b: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
     return num / jnp.maximum(den, eps)
 
 
-def _pyramidal(src_pyr, dst_pyr, uv, patch, iters, min_det):
+def _pyramidal(src_pyr, dst_pyr, uv, patch, iters, min_det, guess=None):
     levels = len(src_pyr)
     scale = 2.0 ** (levels - 1)
-    guess = uv / scale
-    start = uv / scale
+    guess = (uv if guess is None else guess) / scale
     ok_all = jnp.ones(uv.shape[0], bool)
     for lvl in range(levels - 1, -1, -1):
         s = 2.0 ** lvl
@@ -149,5 +156,4 @@ def _pyramidal(src_pyr, dst_pyr, uv, patch, iters, min_det):
         ok_all = ok_all & ok
         if lvl > 0:
             guess = guess * 2.0
-    del start
     return guess, ok_all

@@ -77,7 +77,7 @@ def main() -> None:
 
         vo = eval_vo_sequence(seq, cfg, max_frames=args.frames)
         poses = vo["poses"]
-        cands = propose_loop_closures(poses[:, :3, 3])
+        cands = propose_loop_closures(poses)
         closures = []
         for (i, j) in cands:
             z = closure_constraint_from_frames(

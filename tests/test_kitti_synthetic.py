@@ -74,3 +74,45 @@ def test_vo_eval_end_to_end(dataset, cfg):
     assert abs(est_len - gt_len) / gt_len < 0.06, (est_len, gt_len)
     assert vo["ate_rmse"] < 0.12, vo["ate_rmse"]
     assert vo["rpe_rot_rmse_deg"] < 0.5
+
+
+def test_posegraph_loop_closure_end_to_end(tmp_path_factory):
+    """Config 4: VO over a loop trajectory, proximity+heading closure
+    proposal, KLT+depth+GN verification, pose-graph optimization — the
+    optimized trajectory must beat raw VO."""
+    from mono_lidar_depth_tpu.eval import (
+        eval_vo_sequence, propose_loop_closures, run_pose_graph_backend)
+    from mono_lidar_depth_tpu.eval.kitti_eval import (
+        closure_constraint_from_frames)
+    from mono_lidar_depth_tpu.vo.metrics import ate_rmse
+
+    root = str(tmp_path_factory.mktemp("kitti_loop"))
+    generate_kitti_sequence(
+        root, "98",
+        SyntheticSpec(frames=84, image_width=W, image_height=H,
+                      focal=240.0, lidar_rows=20, lidar_cols=500,
+                      step=0.55, loop=True))
+    cfg = DepthEstimatorConfig(
+        max_points=16384, max_features=384, image_width=W, image_height=H,
+        radiusSearch_count_min=1,
+        ransac_num_hypotheses=256, ransac_subsample_points=1024)
+    seq = KittiSequence(root, "98", image_width=W, image_height=H)
+    vo = eval_vo_sequence(seq, cfg, max_tracks=384, max_length=8,
+                          verbose=False)
+    poses = vo["poses"]
+    cands = propose_loop_closures(poses, min_gap=30, radius=8.0, stride=2,
+                                  max_candidates=8)
+    closures = []
+    for (i, j) in cands:
+        z = closure_constraint_from_frames(
+            seq, cfg, vo["frame_ids"][i], vo["frame_ids"][j],
+            max_features=cfg.max_features)
+        if z is not None:
+            closures.append((i, j, z[0], z[1]))
+    assert len(closures) >= 1, (cands, "no closure verified")
+    opt = run_pose_graph_backend(poses, closures)
+    gt = seq.gt_poses[vo["frame_ids"]]
+    ate_vo = ate_rmse(poses[:, :3, 3], gt[:, :3, 3])
+    ate_pg = ate_rmse(opt[:, :3, 3], gt[:, :3, 3])
+    assert np.isfinite(ate_pg)
+    assert ate_pg < ate_vo, (ate_vo, ate_pg)
