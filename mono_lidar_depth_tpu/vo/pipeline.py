@@ -50,6 +50,9 @@ class OdometryState(NamedTuple):
     win_t: jnp.ndarray  # [W, 3]
     win_valid: jnp.ndarray  # [W]
     frame_idx: jnp.ndarray  # scalar int32
+    # last relative motion (cur←prev), the constant-velocity warm start
+    rel_R: jnp.ndarray  # [3, 3]
+    rel_t: jnp.ndarray  # [3]
 
     @classmethod
     def create(cls, cfg: DepthEstimatorConfig, ocfg: OdometryConfig,
@@ -60,7 +63,9 @@ class OdometryState(NamedTuple):
             tracklets=TrackletDepthState.create(cfg, max_tracks, max_length),
             win_R=eye, win_t=jnp.zeros((W, 3), jnp.float32),
             win_valid=jnp.zeros((W,), bool).at[0].set(True),
-            frame_idx=jnp.int32(0))
+            frame_idx=jnp.int32(0),
+            rel_R=jnp.eye(3, dtype=jnp.float32),
+            rel_t=jnp.zeros(3, jnp.float32))
 
 
 @partial(jax.jit, static_argnames=("cfg", "ocfg", "camera"))
@@ -96,11 +101,15 @@ def odometry_step(
     lm_prev = rays / rz[:, None] * d_prev[:, None]
     n_usable = jnp.sum(usable)
 
-    est = estimate_pose_gn(camera, lm_prev, uv_cur, usable)
+    # constant-velocity warm start from the previous relative motion
+    est = estimate_pose_gn(camera, lm_prev, uv_cur, usable,
+                           R_init=state.rel_R, t_init=state.rel_t)
     enough = n_usable >= ocfg.min_motion_tracks
     # motion cur←prev; identity fallback when starved
-    R_rel = jnp.where(enough, est.rotation, jnp.eye(3, dtype=jnp.float32))
-    t_rel = jnp.where(enough, est.translation, jnp.zeros(3, jnp.float32))
+    # starved frames coast on the constant-velocity model instead of
+    # freezing (prevents turn dropouts from zeroing the motion)
+    R_rel = jnp.where(enough, est.rotation, state.rel_R)
+    t_rel = jnp.where(enough, est.translation, state.rel_t)
 
     # new camera-from-world pose: T_cur←w = T_cur←prev ∘ T_prev←w
     R_prev, t_prev = state.win_R[0], state.win_t[0]
@@ -160,7 +169,8 @@ def odometry_step(
     new_state = OdometryState(
         tracklets=tl_state,
         win_R=ba_R, win_t=ba_t, win_valid=win_valid,
-        frame_idx=state.frame_idx + 1)
+        frame_idx=state.frame_idx + 1,
+        rel_R=R_rel, rel_t=t_rel)
     diag = jnp.stack([n_usable.astype(jnp.float32),
                       est.num_inliers.astype(jnp.float32),
                       est.mean_error])
