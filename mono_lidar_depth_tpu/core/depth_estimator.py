@@ -42,7 +42,7 @@ from .histogram import filter_points_min_dist_blob
 from .neighbors import gather_neighbors, gather_neighbors_two_scales
 from .planefit import (check_planar, check_xz_flatness, first_three_points,
                        least_squares_plane, max_spanning_triangle,
-                       pca_classify)
+                       mestimator_plane, pca_classify)
 from .projection import FrameCloud, build_frame_cloud
 from .ransac import GroundPlane
 from .result_types import NUM_RESULT_TYPES, DepthResultType as R
@@ -309,8 +309,8 @@ def _road_pass(cfg, nb2, lidar_to_cam: SE3, ray_origin,
         # (frame-independent; see the frame-mix note in the module
         # docstring).  The fit runs on camera-frame points, like the
         # reference.
-        road_normal, road_anchor, fit_ok = _mestimator_from_distances(
-            nb2.points_cam, road_mask, gp_dist)
+        fit = mestimator_plane(nb2.points_cam, road_mask, prior_dist=gp_dist)
+        road_normal, road_anchor, fit_ok = fit.normal, fit.anchor, fit.ok
     elif cfg.plane_estimator_use_leastsquares:
         ls = least_squares_plane(nb2.points_cam, road_mask)
         road_normal, road_anchor, fit_ok = ls.normal, ls.anchor, ls.ok
@@ -357,20 +357,6 @@ def _road_pass(cfg, nb2, lidar_to_cam: SE3, ray_origin,
     return code, depth
 
 
-def _mestimator_from_distances(points, mask, prior_dist, eps: float = 1e-9):
-    """M-estimator plane fit with externally supplied prior distances
-    (PlaneEstimationMEstimator.cpp:27-52 with the prior distance
-    evaluated in the lidar frame, where the ground plane lives)."""
-    w = jnp.where(mask, 1.0 / jnp.maximum(prior_dist, eps), 0.0)
-    wsum = jnp.sum(w, axis=-1, keepdims=True)
-    safe = jnp.where(wsum == 0, 1.0, wsum)
-    center = jnp.sum(w[..., None] * points, axis=-2) / safe
-    centered = (points - center[..., None, :]) * jnp.sqrt(w)[..., None]
-    scatter = jnp.einsum("nki,nkj->nij", centered, centered)
-    from .geometry import smallest_eigenvector_sym3x3
-    normal = smallest_eigenvector_sym3x3(scatter)
-    ok = (jnp.sum(mask, axis=-1) >= 3) & (wsum[..., 0] > 0)
-    return normal, center, ok
 
 
 def _apply_depth_gates(cfg: DepthEstimatorConfig, depth, neighbor_depths,

@@ -124,7 +124,9 @@ class PlaneFit(NamedTuple):
 
 
 def mestimator_plane(points: jnp.ndarray, mask: jnp.ndarray,
-                     prior_normal: jnp.ndarray, prior_offset: jnp.ndarray,
+                     prior_normal: jnp.ndarray = None,
+                     prior_offset: jnp.ndarray = None,
+                     prior_dist: jnp.ndarray = None,
                      eps: float = 1e-9) -> PlaneFit:
     """Weighted plane fit with prior-distance weights.
 
@@ -136,11 +138,15 @@ def mestimator_plane(points: jnp.ndarray, mask: jnp.ndarray,
     divides by the raw distance (inf weights on the prior plane); we
     clamp the distance at `eps`.
 
-    prior_normal/prior_offset broadcast over N ([3]/scalar or [N,3]/[N]).
+    Supply EITHER (prior_normal [N,3]/[3] + prior_offset [N]/scalar),
+    or precomputed prior distances `prior_dist` [N, K] (used by the
+    road pass, whose prior lives in a different frame than the points).
     """
-    dist = jnp.abs(jnp.sum(points * prior_normal[..., None, :], axis=-1)
-                   + prior_offset[..., None])
-    w = jnp.where(mask, 1.0 / jnp.maximum(dist, eps), 0.0)  # [N, K]
+    if prior_dist is None:
+        prior_dist = jnp.abs(
+            jnp.sum(points * prior_normal[..., None, :], axis=-1)
+            + prior_offset[..., None])
+    w = jnp.where(mask, 1.0 / jnp.maximum(prior_dist, eps), 0.0)  # [N, K]
     wsum = jnp.sum(w, axis=-1, keepdims=True)
     safe_wsum = jnp.where(wsum == 0, 1.0, wsum)
     center = jnp.sum(w[..., None] * points, axis=-2) / safe_wsum  # [N, 3]

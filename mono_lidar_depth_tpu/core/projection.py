@@ -31,10 +31,14 @@ from .geometry import SE3, PinholeCamera
 
 POINT_NOT_DEFINED = -1  # NeighborFinderPixel.h grid sentinel
 
-# Packed nearest-wins scatter key layout: [14:0] quantized depth,
-# [16:0] raw index — usable while max_points <= 2^17.
+# Packed nearest-wins scatter key layout: quantized depth in the high
+# bits, raw index in the low 17 — usable while max_points <= 2^17.
+# _ZQ_MAX is one LESS than the bitfield maximum so the largest possible
+# key (zq = _ZQ_MAX, idx = 2^17 - 1) stays strictly below the int32
+# 'empty' sentinel — otherwise a far point in the last cloud slot would
+# collide with the sentinel and silently vanish from the grid.
 _IDX_BITS = 17
-_ZQ_MAX = (1 << (31 - _IDX_BITS)) - 1  # 16383
+_ZQ_MAX = (1 << (31 - _IDX_BITS)) - 2  # 16382
 _ZQ_RANGE = 160.0  # metres covered by the quantized depth key
 
 

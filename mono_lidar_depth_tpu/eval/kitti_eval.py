@@ -264,15 +264,11 @@ def closure_constraint_from_frames(seq: KittiSequence,
     pj = build_pyramid(jj, 4)
     uv_j, ok_t = track_features(pi, pj, uv_i, ok, fb_threshold=2.0)
 
-    xyzi, count = (None, 0)
-    import itertools
-    for f, sc in zip(itertools.count(),
-                     seq.scans(cfg.max_points)):
-        if f == frame_i:
-            xyzi, count = sc
-            break
-    if xyzi is None:
+    if frame_i >= len(seq.scan_paths):
         return None
+    from ..io.kitti import read_velodyne
+
+    xyzi, count = read_velodyne(seq.scan_paths[frame_i], cfg.max_points)
     cloud, cvalid = pad_cloud(xyzi, count, cfg.max_points)
     cam = seq.calib.camera
     gp = fit_ground_plane_ransac(

@@ -124,7 +124,7 @@ def process_frame(
         refinement_threshold=cfg.ransac_plane_refinement_treshold,
     ) if cfg.do_use_ransac_plane else None
 
-    _, is_new = match_tracks(state.table, frame.ids, frame.ids_valid)
+    slot_exist, is_new = match_tracks(state.table, frame.ids, frame.ids_valid)
 
     # Depths for previous-frame features of NEW tracks, against the
     # last frame's cloud + plane.
@@ -139,7 +139,8 @@ def process_frame(
 
     table, _ = update_tracks(
         state.table, frame.ids, frame.ids_valid, frame.uv_new,
-        frame.uv_prev, est_new.depths, est_prev.depths, frame.stamp)
+        frame.uv_prev, est_new.depths, est_prev.depths, frame.stamp,
+        match=(slot_exist, is_new))
 
     from ..core.depth_estimator import no_ground_plane
     new_state = TrackletDepthState(

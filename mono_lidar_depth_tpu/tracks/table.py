@@ -85,6 +85,7 @@ def update_tracks(
     depths_new: jnp.ndarray,
     depths_prev: jnp.ndarray,
     stamp: jnp.ndarray,
+    match: tuple[jnp.ndarray, jnp.ndarray] | None = None,
 ) -> tuple[TrackTable, jnp.ndarray]:
     """One frame of tracklet bookkeeping.
 
@@ -104,12 +105,16 @@ def update_tracks(
       depths_new: [M] depth of newest feature (current frame cloud).
       depths_prev: [M] depth of previous feature (last frame cloud).
       stamp: scalar timestamp of this frame.
+      match: optional precomputed match_tracks(table, ids, ids_valid)
+        result, so callers that already matched don't pay the [M, T]
+        reduction twice.
 
     Returns (table, slot [M] — the slot each incoming track landed in).
     """
     T, L = table.capacity, table.window
 
-    slot_exist, is_new = match_tracks(table, ids, ids_valid)
+    slot_exist, is_new = (match if match is not None
+                          else match_tracks(table, ids, ids_valid))
 
     # --- GC: free every slot that is not matched this frame.
     hit = (slot_exist >= 0) & ids_valid

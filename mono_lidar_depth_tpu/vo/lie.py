@@ -70,12 +70,33 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
                       theta_int / (2.0 * sin_int))
     out = scale[..., None] * w
 
-    # near theta = pi the vee formula degenerates; use the diagonal form
+    # Near theta = pi the vee formula degenerates; reconstruct the axis
+    # from the symmetric part: at pi, (R + R^T)/2 = 2 a a^T - I, so
+    # |a_i| comes from the diagonal and relative signs from the
+    # off-diagonal products AGAINST THE LARGEST component (fixing signs
+    # pairwise against component 0 alone loses the y/z relative sign
+    # whenever a_x ~ 0, e.g. a = (0, 1, -1)/sqrt(2)).
     diag = jnp.stack([R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]], axis=-1)
-    axis = jnp.sqrt(jnp.maximum((diag + 1.0) * 0.5, 1e-12))
-    sx = jnp.where(R[..., 0, 1] + R[..., 1, 0] >= 0, 1.0, -1.0)
-    sy = jnp.where(R[..., 0, 2] + R[..., 2, 0] >= 0, 1.0, -1.0)
-    axis = axis * jnp.stack([jnp.ones_like(sx), sx, sy], axis=-1)
+    mag = jnp.sqrt(jnp.maximum((diag + 1.0) * 0.5, 1e-12))  # [..., 3] = |a|
+    sym01 = R[..., 0, 1] + R[..., 1, 0]  # ~ 4 a_0 a_1
+    sym02 = R[..., 0, 2] + R[..., 2, 0]  # ~ 4 a_0 a_2
+    sym12 = R[..., 1, 2] + R[..., 2, 1]  # ~ 4 a_1 a_2
+    zeros = jnp.zeros_like(sym01)
+    # prods[k, j] = sign source for a_j given a_k > 0 (k-th row; the
+    # k == j entry is unused and handled below)
+    prods = jnp.stack([
+        jnp.stack([zeros, sym01, sym02], axis=-1),
+        jnp.stack([sym01, zeros, sym12], axis=-1),
+        jnp.stack([sym02, sym12, zeros], axis=-1),
+    ], axis=-2)
+    k = jnp.argmax(mag, axis=-1)  # largest-|a| component, set positive
+    row = jnp.take_along_axis(
+        prods, jnp.broadcast_to(k[..., None, None], k.shape + (1, 3)),
+        axis=-2)[..., 0, :]  # [..., 3]
+    jidx = jnp.arange(3)
+    sign = jnp.where(jidx == k[..., None], 1.0,
+                     jnp.where(row >= 0, 1.0, -1.0))
+    axis = mag * sign
     norm = jnp.linalg.norm(axis, axis=-1, keepdims=True)
     axis = axis / jnp.where(norm == 0, 1.0, norm)
     pi_log = axis * theta_int[..., None]

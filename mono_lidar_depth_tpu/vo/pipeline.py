@@ -161,10 +161,15 @@ def odometry_step(
         depth_prior=dpri, depth_mask=dmask,
         fixed=(jnp.arange(W) == oldest_valid) | ~win_valid,
         lm_valid=lm_valid)
-    result = run_ba(camera, problem, iters=ocfg.ba_iters,
-                    depth_weight=ocfg.depth_weight)
-    ba_R = jnp.where(run_it, result.problem.R, win_R)
-    ba_t = jnp.where(run_it, result.problem.t, win_t)
+    # lax.cond actually SKIPS the solve on frames where BA is gated off
+    # (jnp.where would run it and discard the result).
+    def _solve(pb):
+        res = run_ba(camera, pb, iters=ocfg.ba_iters,
+                     depth_weight=ocfg.depth_weight)
+        return res.problem.R, res.problem.t
+
+    ba_R, ba_t = jax.lax.cond(
+        run_it, _solve, lambda pb: (pb.R, pb.t), problem)
 
     new_state = OdometryState(
         tracklets=tl_state,

@@ -88,20 +88,23 @@ def estimate_pose_gn(
         behind = p[:, 2] <= min_depth
         return r, J, behind
 
-    def step(_, state):
-        R, t = state
-        r, J, behind = residuals_and_jac(R, t)
-        err = jnp.linalg.norm(r, axis=1)
-        w_huber = jnp.where(err <= huber_px, 1.0, huber_px / jnp.maximum(err, 1e-9))
-        w = jnp.where(valid & ~behind, w_huber, 0.0)[:, None, None]
-        H = jnp.einsum("nri,nrj->ij", J * w, J)
-        g = jnp.einsum("nri,nr->i", J * w, r)
-        H = H + 1e-6 * jnp.eye(6, dtype=H.dtype)
-        dx = -jnp.linalg.solve(H, g)
-        dR, dt = se3_exp(dx)
-        return dR @ R, (dR @ t[..., None])[..., 0] + dt
+    def make_step(sel_mask):
+        def step(_, state):
+            R, t = state
+            r, J, behind = residuals_and_jac(R, t)
+            err = jnp.linalg.norm(r, axis=1)
+            w_h = jnp.where(err <= huber_px, 1.0,
+                            huber_px / jnp.maximum(err, 1e-9))
+            w = jnp.where(sel_mask & ~behind, w_h, 0.0)[:, None, None]
+            H = jnp.einsum("nri,nrj->ij", J * w, J)
+            g = jnp.einsum("nri,nr->i", J * w, r)
+            H = H + 1e-6 * jnp.eye(6, dtype=H.dtype)
+            dx = -jnp.linalg.solve(H, g)
+            dR, dt = se3_exp(dx)
+            return dR @ R, (dR @ t[..., None])[..., 0] + dt
+        return step
 
-    R, t = jax.lax.fori_loop(0, iters, step, (R_init, t_init))
+    R, t = jax.lax.fori_loop(0, iters, make_step(valid), (R_init, t_init))
 
     # Second stage: hard-reject outliers of the first fit and refit —
     # IRLS alone still lets gross outliers bias the solution through
@@ -111,20 +114,8 @@ def estimate_pose_gn(
     stage2_valid = valid & ~behind & (err < outlier_px)
     enough = jnp.sum(stage2_valid) >= 6
 
-    def step2(_, state):
-        R, t = state
-        r, J, behind2 = residuals_and_jac(R, t)
-        e = jnp.linalg.norm(r, axis=1)
-        w_h = jnp.where(e <= huber_px, 1.0, huber_px / jnp.maximum(e, 1e-9))
-        w = jnp.where(stage2_valid & ~behind2, w_h, 0.0)[:, None, None]
-        H = jnp.einsum("nri,nrj->ij", J * w, J)
-        g = jnp.einsum("nri,nr->i", J * w, r)
-        H = H + 1e-6 * jnp.eye(6, dtype=H.dtype)
-        dx = -jnp.linalg.solve(H, g)
-        dR, dt = se3_exp(dx)
-        return dR @ R, (dR @ t[..., None])[..., 0] + dt
-
-    R2, t2 = jax.lax.fori_loop(0, max(iters // 2, 3), step2, (R, t))
+    R2, t2 = jax.lax.fori_loop(0, max(iters // 2, 3),
+                               make_step(stage2_valid), (R, t))
     R = jnp.where(enough, R2, R)
     t = jnp.where(enough, t2, t)
 

@@ -111,3 +111,44 @@ def test_neighbor_count_and_points(rng):
     p = np.asarray(nb.points_cam[0])
     m = np.asarray(nb.mask[0])
     assert np.allclose(p[m][:, 2], 20.0)
+
+
+def test_two_scale_gather_matches_direct(rng):
+    """The primary window extracted from the shared road gather must be
+    IDENTICAL to a direct primary-window gather, including at image
+    edges where the clamped rectangles misalign."""
+    from mono_lidar_depth_tpu.config import DepthEstimatorConfig
+    from mono_lidar_depth_tpu.core.neighbors import (
+        gather_neighbors, gather_neighbors_two_scales)
+
+    cfg = DepthEstimatorConfig(max_points=4096, max_features=128,
+                               image_width=256, image_height=128)
+    pts = rng.uniform([-8, -4, 2], [8, 4, 50], (4096, 3)).astype(np.float32)
+    cam, frame = _make_frame(pts, W=256, H=128)
+    # features everywhere, INCLUDING corners and edges
+    uv = rng.uniform([0.1, 0.1], [255.5, 127.5], (120, 2))
+    edges = np.array([[0.2, 0.2], [255.0, 127.0], [0.5, 127.0],
+                      [255.0, 0.5], [3.0, 64.0], [252.0, 64.0],
+                      [128.0, 1.0], [128.0, 126.0]])
+    uv = np.concatenate([uv, edges]).astype(np.float32)
+    feats = jnp.asarray(uv)
+
+    hx = cfg.pixelarea_search_witdh * 0.5
+    hy = cfg.pixelarea_search_height * 0.5
+    direct = gather_neighbors(frame, feats, hx, hy, cfg.primary_window)
+    small, big = gather_neighbors_two_scales(
+        frame, feats, hx, hy, cfg.road_search_scale_x,
+        cfg.road_search_scale_y, cfg.primary_window, cfg.road_window)
+    np.testing.assert_array_equal(np.asarray(small.mask),
+                                  np.asarray(direct.mask))
+    np.testing.assert_array_equal(np.asarray(small.indices),
+                                  np.asarray(direct.indices))
+    np.testing.assert_allclose(np.asarray(small.points_cam),
+                               np.asarray(direct.points_cam))
+    np.testing.assert_array_equal(np.asarray(small.count),
+                                  np.asarray(direct.count))
+    # and the big window is a real road gather
+    direct_big = gather_neighbors(frame, feats, hx * 2.0, hy * 1.5,
+                                  cfg.road_window)
+    np.testing.assert_array_equal(np.asarray(big.mask),
+                                  np.asarray(direct_big.mask))

@@ -197,3 +197,21 @@ def test_metrics():
         poses[i, :3, 3] = [i, 0, 0]
     out = rpe_stats(poses, poses.copy())
     assert out["trans_rmse"] < 1e-9 and out["rot_rmse_deg"] < 1e-6
+
+
+def test_so3_log_near_pi_degenerate_axes():
+    """Near-pi rotations about axes with a ~0 component must roundtrip
+    (regression: the pi-branch sign reconstruction fixed signs only
+    against component 0 and lost the y/z relative sign for a_x ~ 0)."""
+    axes = [
+        [0.0, 1.0, -1.0], [0.0, 1.0, 1.0], [1.0, 0.0, -1.0],
+        [0.0, 0.0, 1.0], [1e-4, 0.7, -0.714], [-1.0, 0.0, 0.0],
+    ]
+    for a in axes:
+        a = np.asarray(a) / np.linalg.norm(a)
+        for th in (np.pi, np.pi - 1e-4, np.pi - 5e-4):
+            phi = (a * th).astype(np.float32)
+            R = so3_exp(jnp.asarray(phi))
+            R2 = so3_exp(so3_log(R))
+            np.testing.assert_allclose(np.asarray(R2), np.asarray(R),
+                                       atol=3e-3)
