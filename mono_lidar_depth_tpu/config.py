@@ -26,6 +26,7 @@ from typing import Any, Mapping
 
 # Spelling fixes accepted as aliases for the reference's canonical keys.
 _KEY_ALIASES = {
+    "do_debug_singleFeatures": "collect_debug",
     "pixelarea_search_width": "pixelarea_search_witdh",
     "histogram_segmentation_bin_width": "histogram_segmentation_bin_witdh",
     "threshold_depth_enabled": "treshold_depth_enabled",
@@ -49,7 +50,6 @@ _ACCEPTED_UNUSED = {
     "pixelarea_search_offset_x",
     "pixelarea_search_offset_y",
     "pca_debug",
-    "do_debug_singleFeatures",
     "do_publish_points",
     "ransac_plane_debug_visualize",
 }
@@ -168,6 +168,11 @@ class DepthEstimatorConfig:
     # Road-pass neighbor window scales (DepthEstimator.cpp:585).
     road_search_scale_x: float = 2.0
     road_search_scale_y: float = 1.5
+
+    # Per-feature forensic record (the reference's do_debug_singleFeatures
+    # / DepthCalcStatsSinglePoint): when set, estimate_depths returns a
+    # DepthDebug pytree for ALL features.
+    collect_debug: bool = False
 
     def __post_init__(self):
         if self.neighbor_search_mode != 0:

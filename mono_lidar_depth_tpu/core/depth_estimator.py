@@ -48,10 +48,25 @@ from .ransac import GroundPlane
 from .result_types import NUM_RESULT_TYPES, DepthResultType as R
 
 
+class DepthDebug(NamedTuple):
+    """Per-feature forensic record (the reference's
+    DepthCalcStatsSinglePoint, DepthCalcStatsSinglePoint.h:20-68),
+    produced for ALL features at once when cfg.collect_debug is set."""
+
+    neighbor_count: jnp.ndarray  # [N] primary-window hits
+    seg_count: jnp.ndarray  # [N] histogram-segmented point count
+    hist_bin: jnp.ndarray  # [N] selected bin id (-1 none)
+    hist_lower: jnp.ndarray  # [N] bin lower border
+    hist_upper: jnp.ndarray  # [N] bin upper border
+    corners: jnp.ndarray  # [N, 3, 3] spanning-triangle corners
+    road_count: jnp.ndarray  # [N] road-pass ground-inlier count
+
+
 class DepthEstimate(NamedTuple):
     depths: jnp.ndarray  # [N] estimated depth, -1 on failure
     codes: jnp.ndarray  # [N] int32 DepthResultType
     counters: jnp.ndarray  # [NUM_RESULT_TYPES] int32 outcome histogram
+    debug: Optional[DepthDebug] = None  # set when cfg.collect_debug
 
 
 def no_ground_plane(max_points: int) -> GroundPlane:
@@ -137,7 +152,7 @@ def estimate_depths(
     else:  # DepthEstimator.cpp:762-764: use all neighbors
         seg_mask, hist_found = nb1.mask, jnp.ones((N,), bool)
 
-    depth_p, code_p = _segment_depth(
+    depth_p, code_p, corners_p = _segment_depth(
         cfg, nb1.points_cam, seg_mask, ray_dir, ray_origin,
         check_planar_enabled=cfg.do_check_triangleplanar_condition)
     code_p = jnp.where(hist_found, code_p, jnp.int32(R.HistogramNoLocalMax))
@@ -182,7 +197,7 @@ def estimate_depths(
                               jnp.take(frame.points_cam, safe_raw, axis=0), 0.0)
         # planarity check disabled on the region path
         # (DepthEstimator.cpp:551 passes checkPlanar=false)
-        depth_rg, code_rg = _segment_depth(
+        depth_rg, code_rg, _ = _segment_depth(
             cfg, rg_points, grow.mask, ray_dir, ray_origin,
             check_planar_enabled=False)
         rg_success = (grow.status == 1) & (code_rg == jnp.int32(R.Success))
@@ -204,16 +219,31 @@ def estimate_depths(
 
     # ---- road fallback -------------------------------------------------
     if cfg.do_use_ransac_plane:
-        code_f, depth_f = _road_pass(
+        code_f, depth_f, road_count = _road_pass(
             cfg, nb2, lidar_to_cam, ray_origin, ray_dir,
             ground_plane, code_p, depth_primary, enough1, primary_success)
     else:
         code_f, depth_f = code_p, depth_primary
+        road_count = jnp.zeros((N,), jnp.int32)
 
     code_f = jnp.where(features_valid, code_f, jnp.int32(R.Unspecified))
     depth_f = jnp.where(features_valid, depth_f, -1.0)
+    debug = None
+    if cfg.collect_debug:
+        if cfg.do_use_histogram_segmentation:
+            h_bin, h_lo, h_hi = hist.bin_id, hist.lower, hist.upper
+        else:
+            h_bin = jnp.full((N,), -1, jnp.int32)
+            h_lo = jnp.full((N,), -1.0)
+            h_hi = jnp.full((N,), -1.0)
+        debug = DepthDebug(
+            neighbor_count=nb1.count,
+            seg_count=jnp.sum(seg_mask, axis=-1).astype(jnp.int32),
+            hist_bin=h_bin, hist_lower=h_lo, hist_upper=h_hi,
+            corners=corners_p, road_count=road_count)
     return DepthEstimate(depths=depth_f, codes=code_f,
-                         counters=_count(code_f, features_valid))
+                         counters=_count(code_f, features_valid),
+                         debug=debug)
 
 
 def _segment_depth(cfg, points, seg_mask, ray_dir, ray_origin,
@@ -223,8 +253,9 @@ def _segment_depth(cfg, points, seg_mask, ray_dir, ray_origin,
     triangle/first-3/PCA plane, planarity + orthogonality gates, ray
     intersection, global/local depth gates, behind-camera check.
 
-    Returns (depth [N], code [N]) with code Success where all gates
-    pass; the caller layers its own earlier-stage failure codes on top.
+    Returns (depth [N], code [N], corners [N, 3, 3]) with code Success
+    where all gates pass; the caller layers its own earlier-stage
+    failure codes on top.
     """
     N = ray_dir.shape[0]
     use_triangle = (not cfg.do_use_PCA) and cfg.do_use_triangle_size_maximation
@@ -274,7 +305,7 @@ def _segment_depth(cfg, points, seg_mask, ray_dir, ray_origin,
     else:
         code = jnp.where(planar_ok, code, jnp.int32(R.TriangleNotPlanar))
     code = jnp.where(tri.ok, code, tri_fail_code)
-    return depth, code
+    return depth, code, tri.corners
 
 
 def _road_pass(cfg, nb2, lidar_to_cam: SE3, ray_origin,
@@ -354,7 +385,7 @@ def _road_pass(cfg, nb2, lidar_to_cam: SE3, ray_origin,
     depth = jnp.where(road_applicable,
                       jnp.where(enough2 & road_seg_ok, depth_r, -1.0),
                       depth_primary)
-    return code, depth
+    return code, depth, road_count
 
 
 

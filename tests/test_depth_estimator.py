@@ -170,3 +170,26 @@ def test_pca_mode_runs():
     out = estimate_depths(cfg, CAM, SE3.identity(), cloud, cvalid,
                           feats, fvalid, None)
     assert int(out.codes[0]) in (R.Success, R.PcaIsPoint, R.PcaIsCubic)
+
+
+def test_collect_debug_record():
+    """cfg.collect_debug returns the per-feature forensic record (the
+    reference's DepthCalcStatsSinglePoint equivalent)."""
+    cfg = CFG.replace(collect_debug=True)
+    cloud, cvalid = _pad_cloud(_wall_cloud())
+    feats, fvalid = _pad_features(np.array([[128.0, 64.0], [250.0, 20.0]]))
+    out = estimate_depths(cfg, CAM, SE3.identity(), cloud, cvalid,
+                          feats, fvalid, None)
+    d = out.debug
+    assert d is not None
+    assert int(d.neighbor_count[0]) >= 3
+    assert int(d.seg_count[0]) >= 3
+    assert int(d.hist_bin[0]) >= 0
+    assert float(d.hist_lower[0]) <= 20.0 <= float(d.hist_upper[0]) + 0.5
+    # corners lie on the wall
+    np.testing.assert_allclose(np.asarray(d.corners[0])[:, 2], 20.0,
+                               atol=0.01)
+    # default config returns no debug payload
+    out2 = estimate_depths(CFG, CAM, SE3.identity(), cloud, cvalid,
+                           feats, fvalid, None)
+    assert out2.debug is None
