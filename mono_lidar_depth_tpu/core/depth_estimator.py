@@ -116,9 +116,16 @@ def estimate_depths(
             codes=codes,
             counters=_count(codes, features_valid))
 
+    # The ground-inlier mask rides the rasterization in the z plane's
+    # sign bit, so the road pass reads it as part of the window slice
+    # instead of a random [N, K] gather over the raw cloud
+    # (GroundPlane::CheckPointInPlane, RansacPlane.h:99-123, keyed by
+    # raw index in the reference).
+    flags = ground_plane.inlier_mask if cfg.do_use_ransac_plane else None
     frame = build_frame_cloud(
         cloud_lidar, cloud_valid, lidar_to_cam, camera,
-        cfg.image_height, cfg.image_width, cfg.grid_collision_rule)
+        cfg.image_height, cfg.image_width, cfg.grid_collision_rule,
+        point_flags=flags)
 
     # Viewing rays (camera_pinhole.h:52-69); z is positive for any
     # finite pixel, but keep the reference's z<0 flip for safety
@@ -131,17 +138,17 @@ def estimate_depths(
     hx = cfg.pixelarea_search_witdh * 0.5
     hy = cfg.pixelarea_search_height * 0.5
     if cfg.do_use_ransac_plane:
-        # one HBM gather serves both search scales
         nb1, nb2 = gather_neighbors_two_scales(
-            frame, features_uv, hx, hy,
+            frame, camera, features_uv, hx, hy,
             cfg.road_search_scale_x, cfg.road_search_scale_y,
             cfg.primary_window, cfg.road_window)
     else:
-        nb1 = gather_neighbors(frame, features_uv, hx, hy, cfg.primary_window)
+        nb1 = gather_neighbors(frame, camera, features_uv, hx, hy,
+                               cfg.primary_window)
         nb2 = None
     enough1 = nb1.count >= cfg.radiusSearch_count_min
 
-    depth1 = nb1.points_cam[..., 2]
+    depth1 = nb1.z
     if cfg.do_use_histogram_segmentation:
         hist = filter_points_min_dist_blob(
             depth1, nb1.mask,
@@ -330,8 +337,8 @@ def _road_pass(cfg, nb2, lidar_to_cam: SE3, ray_origin,
     any_far = jnp.any(
         nb2.mask & (gp_dist > cfg.ransac_plane_point_distance_treshold), axis=-1)
 
-    safe_idx = jnp.clip(nb2.indices, 0, gp.inlier_mask.shape[0] - 1)
-    road_mask = nb2.mask & jnp.take(gp.inlier_mask, safe_idx, axis=0)
+    # Inlier flags come rasterized with the window slice (nb2.flags).
+    road_mask = nb2.mask & nb2.flags
     road_count = jnp.sum(road_mask, axis=-1)
     road_seg_ok = ~any_far & (road_count >= 3)
 
@@ -358,7 +365,7 @@ def _road_pass(cfg, nb2, lidar_to_cam: SE3, ray_origin,
     _, depth_r = ray_plane_intersection(road_normal, road_offset,
                                         ray_origin, ray_dir)
     depth_r, gate_code_r = _apply_depth_gates(
-        cfg, depth_r, nb2.points_cam[..., 2], road_mask)
+        cfg, depth_r, nb2.z, road_mask)
 
     code_r = jnp.full((N,), jnp.int32(R.SuccessRoad))
     code_r = jnp.where(gate_code_r != 0, gate_code_r, code_r)

@@ -3,46 +3,69 @@
 TPU-native replacement for `NeighborFinderPixel::getNeighbors`
 (NeighborFinderPixel.cpp:60-95).  The reference scans a dynamic w×h
 pixel rectangle per feature and push_backs hits; here every feature
-gathers a STATIC [Ky, Kx] window of grid cells (upper bound of the
-dynamic rectangle) in one vectorized gather, with a per-cell validity
-mask replicating the exact dynamic bounds:
+reads a STATIC [Ky, Kx] window (upper bound of the dynamic rectangle)
+as ONE contiguous dynamic-slice of the frame's rasterized index grid
+and attribute planes, with a per-cell validity mask replicating the
+exact dynamic bounds:
 
     left  = max(u - hx, 0)        right  = min(u + hx, W-1)
     top   = max(v - hy, 0)        bottom = min(v + hy, H-1)
     cells = int(top)..int(bottom) × int(left)..int(right)   (inclusive)
 
-Cell order is row-major (y outer, x inner), matching the reference scan
-order — this matters for argmax tie-breaking parity in the
-max-spanning-triangle stage.
+Window slices are clamped to stay inside the image (start shifts up to
+Ky-1 / Kx-1 cells near the bottom/right borders); the validity mask is
+computed against the TRUE rectangle, so only which *masked-off* slots
+pad the window changes — the valid cells and their row-major relative
+order (the reference's scan order, which matters for argmax
+tie-breaking parity in the max-spanning-triangle stage) are identical.
+
+Why slices instead of gathers: a per-cell gather formulation costs
+N·K ≈ 430k random HBM offsets through two chained index hops
+(grid → raw index → point table) — measured ~10 ms/frame on this chip,
+2/3 of the whole pipeline.  One dynamic-slice per feature over the
+winner-attribute planes (projection.py) reads the same data as ~N
+contiguous block copies and removes the second hop entirely.
+
+Neighbor camera-frame coordinates are DECODED from the planes: z (and
+the ground-inlier flag) from the sign-encoded z plane, x and y from the
+pinhole relation over the cell coordinate + stored subpixel offsets
+(see projection.py docstring for the exactness argument).
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 
+from .geometry import PinholeCamera
+from .pallas_windows import slice_windows
 from .projection import POINT_NOT_DEFINED, FrameCloud
 
 
 class NeighborSet(NamedTuple):
-    indices: jnp.ndarray  # [N, K] int32 raw point indices (clamped; see mask)
+    indices: jnp.ndarray  # [N, K] int32 raw point indices (-1 where ~mask)
     mask: jnp.ndarray  # [N, K] bool: cell in rect && holds a point
     points_cam: jnp.ndarray  # [N, K, 3] camera-frame points (0 where ~mask)
     count: jnp.ndarray  # [N] int32 number of neighbors
+    z: jnp.ndarray  # [N, K] camera-frame depth (0 where ~mask)
+    flags: Optional[jnp.ndarray] = None  # [N, K] bool point flags (inlier)
 
 
 def gather_neighbors(
     frame: FrameCloud,
+    camera: PinholeCamera,
     features_uv: jnp.ndarray,
     half_size_x: float,
     half_size_y: float,
     window: tuple[int, int],
 ) -> NeighborSet:
-    """Gather grid windows for all features at once.
+    """Slice grid windows for all features at once.
 
     Args:
       frame: rasterized cloud.
+      camera: pinhole intrinsics (for coordinate reconstruction).
       features_uv: [N, 2] feature pixel coordinates.
       half_size_x/y: rectangle half extents in pixels (already scaled;
         the reference computes w*0.5*scale, NeighborFinderPixel.cpp:67-68).
@@ -50,6 +73,8 @@ def gather_neighbors(
     """
     H, W = frame.grid.shape
     Ky, Kx = window
+    if Ky > H or Kx > W:
+        raise ValueError(f"window {window} exceeds grid {H}x{W}")
     u = features_uv[..., 0]
     v = features_uv[..., 1]
 
@@ -63,36 +88,64 @@ def gather_neighbors(
     y0 = top.astype(jnp.int32)
     y1 = bottom.astype(jnp.int32)
 
-    dx = jnp.arange(Kx, dtype=jnp.int32)
+    # Clamped slice starts: the [Ky, Kx] window always fits the image
+    # and always covers [y0..y1] x [x0..x1] (window ≥ span by config).
+    sy = jnp.minimum(y0, H - Ky)
+    sx = jnp.minimum(x0, W - Kx)
+
+    # Raw point indices ride the f32 slice as a channel (exact for
+    # indices < 2^24; max_points is capped at 2^17 by the grid packing).
+    stack = jnp.concatenate(
+        [frame.planes, frame.grid.astype(jnp.float32)[None]], axis=0)
+
+    win = slice_windows(stack, sy, sx, Ky, Kx)  # [N, 3, Ky, Kx]
+
     dy = jnp.arange(Ky, dtype=jnp.int32)
-    xs = x0[..., None] + dx  # [N, Kx]
-    ys = y0[..., None] + dy  # [N, Ky]
-    in_x = xs <= x1[..., None]
-    in_y = ys <= y1[..., None]
+    dx = jnp.arange(Kx, dtype=jnp.int32)
+    cy = sy[..., None] + dy  # [N, Ky] actual cell rows
+    cx = sx[..., None] + dx  # [N, Kx]
+    in_y = (cy >= y0[..., None]) & (cy <= y1[..., None])
+    in_x = (cx >= x0[..., None]) & (cx <= x1[..., None])
+    cell_ok = in_y[..., :, None] & in_x[..., None, :]  # [N, Ky, Kx]
 
-    cell_x = jnp.broadcast_to(xs[..., None, :], xs.shape[:-1] + (Ky, Kx))
-    cell_y = jnp.broadcast_to(ys[..., :, None], ys.shape[:-1] + (Ky, Kx))
-    cell_ok = in_y[..., :, None] & in_x[..., None, :]
+    N = features_uv.shape[0]
+    K = Ky * Kx
+    winf = win.reshape(N, 3, K)
+    idx = winf[:, 2].astype(jnp.int32)
+    mask = cell_ok.reshape(N, K) & (idx != POINT_NOT_DEFINED)
 
-    flat = jnp.clip(cell_y, 0, H - 1) * W + jnp.clip(cell_x, 0, W - 1)
-    idx = jnp.take(frame.grid.reshape(-1), flat.reshape(flat.shape[:-2] + (Ky * Kx,)),
-                   axis=0)
-    mask = cell_ok.reshape(idx.shape) & (idx != POINT_NOT_DEFINED)
+    z_enc = winf[:, 0]
+    flags = mask & (z_enc < 0)
+    zs = jnp.where(mask, jnp.abs(z_enc), 0.0)
 
-    safe_idx = jnp.clip(idx, 0, frame.points_cam.shape[0] - 1)
-    pts = jnp.take(frame.points_cam, safe_idx, axis=0)
-    pts = jnp.where(mask[..., None], pts, 0.0)
+    # Decode subpixel offsets and reconstruct x, y (projection.py).
+    packed = winf[:, 1]
+    qu = jnp.floor(packed * (1.0 / 4096.0))
+    qv = packed - qu * 4096.0
+    cell_col = (cx[..., None, :] + jnp.zeros((Ky, 1), jnp.int32)
+                ).reshape(N, K).astype(jnp.float32)
+    cell_row = (cy[..., :, None] + jnp.zeros((1, Kx), jnp.int32)
+                ).reshape(N, K).astype(jnp.float32)
+    uu = cell_col + (qu + 0.5) * (1.0 / 4096.0)
+    vv = cell_row + (qv + 0.5) * (1.0 / 4096.0)
+    inv_f = 1.0 / camera.focal_length
+    xs = (uu - camera.cx) * inv_f * zs
+    ys = (vv - camera.cy) * inv_f * zs
+    pts = jnp.where(mask[..., None], jnp.stack([xs, ys, zs], axis=-1), 0.0)
 
     return NeighborSet(
         indices=jnp.where(mask, idx, POINT_NOT_DEFINED),
         mask=mask,
         points_cam=pts,
         count=jnp.sum(mask, axis=-1).astype(jnp.int32),
+        z=zs,
+        flags=flags,
     )
 
 
 def gather_neighbors_two_scales(
     frame: FrameCloud,
+    camera: PinholeCamera,
     features_uv: jnp.ndarray,
     half_x: float,
     half_y: float,
@@ -101,51 +154,15 @@ def gather_neighbors_two_scales(
     window_small: tuple[int, int],
     window_large: tuple[int, int],
 ) -> tuple[NeighborSet, NeighborSet]:
-    """One HBM gather for both search scales.
+    """Both search scales (primary + road retry, DepthEstimator.cpp:585).
 
-    The primary rectangle (half extents half_x/half_y) is a subrectangle
-    of the road rectangle (scaled by scale_x/scale_y >= 1), so the
-    expensive grid+point gather is done ONCE at the large window and the
-    small window is extracted with a cheap register-level
-    take_along_axis using the per-feature cell offset
-    (floor(max(u - hx, 0)) - floor(max(u - hx*sx, 0))).  Cell order of
-    both outputs stays row-major, preserving scan-order parity.
+    Two independent slice passes.  (Extracting the small window from the
+    large one with take_along_axis was measured SLOWER than a second
+    slice pass — the axis-1 shuffles lower to [N, K] gathers.)  Cell
+    order of both outputs is row-major, preserving scan-order parity.
     """
-    H, W = frame.grid.shape
-    Ky1, Kx1 = window_small
-    Ky2, Kx2 = window_large
-    big = gather_neighbors(frame, features_uv,
+    small = gather_neighbors(frame, camera, features_uv, half_x, half_y,
+                             window_small)
+    big = gather_neighbors(frame, camera, features_uv,
                            half_x * scale_x, half_y * scale_y, window_large)
-
-    u = features_uv[..., 0]
-    v = features_uv[..., 1]
-    x0s = jnp.maximum(u - half_x, 0.0).astype(jnp.int32)
-    x1s = jnp.minimum(u + half_x, float(W - 1)).astype(jnp.int32)
-    y0s = jnp.maximum(v - half_y, 0.0).astype(jnp.int32)
-    y1s = jnp.minimum(v + half_y, float(H - 1)).astype(jnp.int32)
-    x0l = jnp.maximum(u - half_x * scale_x, 0.0).astype(jnp.int32)
-    y0l = jnp.maximum(v - half_y * scale_y, 0.0).astype(jnp.int32)
-    offx = x0s - x0l  # [N]
-    offy = y0s - y0l
-
-    dx = jnp.arange(Kx1, dtype=jnp.int32)
-    dy = jnp.arange(Ky1, dtype=jnp.int32)
-    in_x = (x0s[:, None] + dx) <= x1s[:, None]  # [N, Kx1]
-    in_y = (y0s[:, None] + dy) <= y1s[:, None]
-    sub_ok = in_y[:, :, None] & in_x[:, None, :]
-    k_map = ((offy[:, None, None] + dy[None, :, None]) * Kx2
-             + offx[:, None, None] + dx[None, None, :])  # [N, Ky1, Kx1]
-    k_map = jnp.clip(k_map, 0, Ky2 * Kx2 - 1).reshape(-1, Ky1 * Kx1)
-
-    idx_s = jnp.take_along_axis(big.indices, k_map, axis=1)
-    mask_s = (jnp.take_along_axis(big.mask, k_map, axis=1)
-              & sub_ok.reshape(-1, Ky1 * Kx1))
-    pts_s = jnp.take_along_axis(big.points_cam, k_map[..., None], axis=1)
-    pts_s = jnp.where(mask_s[..., None], pts_s, 0.0)
-    small = NeighborSet(
-        indices=jnp.where(mask_s, idx_s, POINT_NOT_DEFINED),
-        mask=mask_s,
-        points_cam=pts_s,
-        count=jnp.sum(mask_s, axis=-1).astype(jnp.int32),
-    )
     return small, big

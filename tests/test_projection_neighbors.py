@@ -41,7 +41,7 @@ def test_reference_find_by_pixel(rng):
 
     cam, frame = _make_frame(pts, cam=cam)
     features = jnp.asarray(uv, dtype=jnp.float32)
-    nb = gather_neighbors(frame, features, 3 * 0.5, 5 * 0.5, (7, 5))
+    nb = gather_neighbors(frame, cam, features, 3 * 0.5, 5 * 0.5, (7, 5))
 
     grid = np.asarray(frame.grid)
     nb_idx = np.asarray(nb.indices)
@@ -91,7 +91,7 @@ def test_window_bounds_clamped():
     pts = [[-0.8, -0.8, 10.0]]  # projects near (2, 2)
     cam, frame = _make_frame(pts)
     feat = jnp.asarray([[1.0, 1.0]], dtype=jnp.float32)
-    nb = gather_neighbors(frame, feat, 3.0, 4.5, (11, 8))
+    nb = gather_neighbors(frame, cam, feat, 3.0, 4.5, (11, 8))
     # All gathered cells lie inside the image: no negative wrap pulls in
     # the far side of the grid.
     assert int(nb.count[0]) == np.asarray(
@@ -106,7 +106,7 @@ def test_neighbor_count_and_points(rng):
     cam, frame = _make_frame(pts, W=1248, H=384)
     # (0.05 spacing * 600 f / 20 z) = 1.5 px spacing on the image
     feat = jnp.asarray([[624.0, 192.0]], dtype=jnp.float32)
-    nb = gather_neighbors(frame, feat, 3.0, 4.5, (11, 8))
+    nb = gather_neighbors(frame, cam, feat, 3.0, 4.5, (11, 8))
     assert int(nb.count[0]) > 6
     p = np.asarray(nb.points_cam[0])
     m = np.asarray(nb.mask[0])
@@ -135,9 +135,9 @@ def test_two_scale_gather_matches_direct(rng):
 
     hx = cfg.pixelarea_search_witdh * 0.5
     hy = cfg.pixelarea_search_height * 0.5
-    direct = gather_neighbors(frame, feats, hx, hy, cfg.primary_window)
+    direct = gather_neighbors(frame, cam, feats, hx, hy, cfg.primary_window)
     small, big = gather_neighbors_two_scales(
-        frame, feats, hx, hy, cfg.road_search_scale_x,
+        frame, cam, feats, hx, hy, cfg.road_search_scale_x,
         cfg.road_search_scale_y, cfg.primary_window, cfg.road_window)
     np.testing.assert_array_equal(np.asarray(small.mask),
                                   np.asarray(direct.mask))
@@ -148,7 +148,7 @@ def test_two_scale_gather_matches_direct(rng):
     np.testing.assert_array_equal(np.asarray(small.count),
                                   np.asarray(direct.count))
     # and the big window is a real road gather
-    direct_big = gather_neighbors(frame, feats, hx * 2.0, hy * 1.5,
+    direct_big = gather_neighbors(frame, cam, feats, hx * 2.0, hy * 1.5,
                                   cfg.road_window)
     np.testing.assert_array_equal(np.asarray(big.mask),
                                   np.asarray(direct_big.mask))
