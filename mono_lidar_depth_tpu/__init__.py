@@ -7,7 +7,9 @@ See SURVEY.md at the repo root for the reference structural analysis.
 """
 
 from .config import DepthEstimatorConfig, TrackletConfig
-from .core.depth_estimator import DepthEstimate, estimate_depths, no_ground_plane
+from .core.depth_estimator import (DepthEstimate, estimate_depths,
+                                   estimate_depths_from_frame,
+                                   no_ground_plane, rasterize_cloud)
 from .core.geometry import SE3, PinholeCamera
 from .core.ransac import GroundPlane, fit_ground_plane_ransac, fit_ground_plane_semantic
 from .core.result_types import DepthResultType
@@ -17,6 +19,8 @@ __all__ = [
     "TrackletConfig",
     "DepthEstimate",
     "estimate_depths",
+    "estimate_depths_from_frame",
+    "rasterize_cloud",
     "no_ground_plane",
     "SE3",
     "PinholeCamera",

@@ -116,16 +116,172 @@ def estimate_depths(
             codes=codes,
             counters=_count(codes, features_valid))
 
-    # The ground-inlier mask rides the rasterization in the z plane's
-    # sign bit, so the road pass reads it as part of the window slice
-    # instead of a random [N, K] gather over the raw cloud
-    # (GroundPlane::CheckPointInPlane, RansacPlane.h:99-123, keyed by
-    # raw index in the reference).
+    frame = rasterize_cloud(cfg, camera, lidar_to_cam, cloud_lidar,
+                            cloud_valid, ground_plane)
+    return estimate_depths_from_frame(
+        cfg, camera, lidar_to_cam, frame, features_uv, features_valid,
+        ground_plane)
+
+
+@partial(jax.jit, static_argnames=("cfg", "camera"))
+def rasterize_cloud(
+    cfg: DepthEstimatorConfig,
+    camera: PinholeCamera,
+    lidar_to_cam: SE3,
+    cloud_lidar: jnp.ndarray,
+    cloud_valid: jnp.ndarray,
+    ground_plane: GroundPlane,
+) -> FrameCloud:
+    """Frame ingest: transform + project + rasterize one cloud (the
+    `setInputCloud` half of the reference pipeline).  The result is a
+    reusable pytree — the tracklet layer caches it across frames so the
+    last-frame estimator pass (tracks/pipeline.py) does not re-rasterize.
+
+    The ground-inlier mask rides the rasterization in the z plane's
+    sign bit, so the road pass reads it as part of the window slice
+    instead of a random [N, K] gather over the raw cloud
+    (GroundPlane::CheckPointInPlane, RansacPlane.h:99-123, keyed by
+    raw index in the reference) — which means the cached FrameCloud is
+    tied to the ground plane it was built with.
+    """
     flags = ground_plane.inlier_mask if cfg.do_use_ransac_plane else None
-    frame = build_frame_cloud(
+    return build_frame_cloud(
         cloud_lidar, cloud_valid, lidar_to_cam, camera,
         cfg.image_height, cfg.image_width, cfg.grid_collision_rule,
         point_flags=flags)
+
+
+def plane_to_camera(lidar_to_cam: SE3, coeffs: jnp.ndarray) -> jnp.ndarray:
+    """Transform lidar-frame plane coefficients [a,b,c,d] into the
+    camera frame: n_c = R n_l, d_c = d_l − n_c·t.  Rigid transforms
+    preserve point-plane distance, so the road pass evaluates distances
+    against this [4]-vector instead of gathering lidar-frame points
+    (the reference maps each neighbor back, DepthEstimator.cpp:810-812)."""
+    n_c = (lidar_to_cam.rotation @ coeffs[:3][..., None])[..., 0]
+    d_c = coeffs[3] - jnp.sum(n_c * lidar_to_cam.translation)
+    return jnp.concatenate([n_c, d_c[None]])
+
+
+def _gather_two_scales(cfg, camera, frame: FrameCloud, features_uv):
+    """Window gathers for both search scales (primary + road retry)."""
+    need_idx = cfg.do_use_depth_segmentation
+    hx = cfg.pixelarea_search_witdh * 0.5
+    hy = cfg.pixelarea_search_height * 0.5
+    if cfg.do_use_ransac_plane:
+        return gather_neighbors_two_scales(
+            frame, camera, features_uv, hx, hy,
+            cfg.road_search_scale_x, cfg.road_search_scale_y,
+            cfg.primary_window, cfg.road_window, with_indices=need_idx)
+    nb1 = gather_neighbors(frame, camera, features_uv, hx, hy,
+                           cfg.primary_window, with_indices=need_idx)
+    return nb1, None
+
+
+@partial(jax.jit, static_argnames=("cfg", "camera"))
+def estimate_depths_from_frame(
+    cfg: DepthEstimatorConfig,
+    camera: PinholeCamera,
+    lidar_to_cam: SE3,
+    frame: FrameCloud,
+    features_uv: jnp.ndarray,
+    features_valid: jnp.ndarray,
+    ground_plane: GroundPlane,
+) -> DepthEstimate:
+    """Per-feature depth estimation against a pre-rasterized FrameCloud
+    (must have been built by `rasterize_cloud` with the SAME ground
+    plane).  See `estimate_depths` for the one-shot form."""
+    N = features_uv.shape[0]
+
+    if cfg.set_all_depths_to_zero:  # DepthEstimator.cpp:448-453
+        codes = jnp.where(features_valid, jnp.int32(R.Success), jnp.int32(R.Unspecified))
+        return DepthEstimate(
+            depths=jnp.full((N,), -1.0, jnp.float32),
+            codes=codes,
+            counters=_count(codes, features_valid))
+
+    nb1, nb2 = _gather_two_scales(cfg, camera, frame, features_uv)
+    return _depth_cascade(
+        cfg, camera, nb1, nb2, features_uv, features_valid,
+        plane_to_camera(lidar_to_cam, ground_plane.coeffs),
+        ground_plane.ok, frame=frame)
+
+
+@partial(jax.jit, static_argnames=("cfg", "camera"))
+def estimate_depths_pair(
+    cfg: DepthEstimatorConfig,
+    camera: PinholeCamera,
+    lidar_to_cam: SE3,
+    frame_a: FrameCloud,
+    uv_a: jnp.ndarray,
+    valid_a: jnp.ndarray,
+    gp_a: GroundPlane,
+    frame_b: FrameCloud,
+    uv_b: jnp.ndarray,
+    valid_b: jnp.ndarray,
+    gp_b: GroundPlane,
+) -> tuple[DepthEstimate, DepthEstimate]:
+    """Estimate depths for two feature sets against two frames in ONE
+    fused pipeline: the window gathers stay per-frame, but everything
+    downstream (histogram segmentation, plane fits, gates, road
+    fallback, statistics) runs once over the concatenated [2N] lanes —
+    halving the fixed cost of the per-feature stages.  This is the
+    tracklet layer's shape: the previous-frame features of new tracks
+    against the cached last frame, and all newest features against the
+    current frame (CalculateFeatureDepths{Last,Cur}Frame,
+    tracklet_depth_module.cpp:63-117)."""
+    if cfg.set_all_depths_to_zero or cfg.do_use_depth_segmentation:
+        # region growing is frame-local (row segmentation of each
+        # cloud); run the two passes separately for those configs.
+        return (estimate_depths_from_frame(cfg, camera, lidar_to_cam,
+                                           frame_a, uv_a, valid_a, gp_a),
+                estimate_depths_from_frame(cfg, camera, lidar_to_cam,
+                                           frame_b, uv_b, valid_b, gp_b))
+
+    Na = uv_a.shape[0]
+    nb1a, nb2a = _gather_two_scales(cfg, camera, frame_a, uv_a)
+    nb1b, nb2b = _gather_two_scales(cfg, camera, frame_b, uv_b)
+
+    def cat(a, b):
+        return jax.tree.map(lambda x, y: jnp.concatenate([x, y], axis=0),
+                            a, b)
+
+    nb1 = cat(nb1a, nb1b)
+    nb2 = cat(nb2a, nb2b) if nb2a is not None else None
+    uv = jnp.concatenate([uv_a, uv_b], axis=0)
+    valid = jnp.concatenate([valid_a, valid_b], axis=0)
+    ca = plane_to_camera(lidar_to_cam, gp_a.coeffs)
+    cb = plane_to_camera(lidar_to_cam, gp_b.coeffs)
+    coeffs = jnp.concatenate([jnp.broadcast_to(ca, (Na, 4)),
+                              jnp.broadcast_to(cb, (uv_b.shape[0], 4))])
+    gp_ok = jnp.concatenate([jnp.broadcast_to(gp_a.ok, (Na,)),
+                             jnp.broadcast_to(gp_b.ok, (uv_b.shape[0],))])
+    est = _depth_cascade(cfg, camera, nb1, nb2, uv, valid, coeffs, gp_ok,
+                         frame=None)
+    est_a = DepthEstimate(depths=est.depths[:Na], codes=est.codes[:Na],
+                          counters=_count(est.codes[:Na], valid_a),
+                          debug=None if est.debug is None else
+                          jax.tree.map(lambda x: x[:Na], est.debug))
+    est_b = DepthEstimate(depths=est.depths[Na:], codes=est.codes[Na:],
+                          counters=_count(est.codes[Na:], valid_b),
+                          debug=None if est.debug is None else
+                          jax.tree.map(lambda x: x[Na:], est.debug))
+    return est_a, est_b
+
+
+def _depth_cascade(
+    cfg: DepthEstimatorConfig,
+    camera: PinholeCamera,
+    nb1,
+    nb2,
+    features_uv: jnp.ndarray,
+    features_valid: jnp.ndarray,
+    gp_coeffs_cam: jnp.ndarray,  # [4] or [N, 4] camera-frame plane
+    gp_ok: jnp.ndarray,  # scalar or [N]
+    frame: Optional[FrameCloud],
+) -> DepthEstimate:
+    """The per-feature select cascade given gathered neighbor windows.
+    `frame` is only needed for the region-growing branch."""
+    N = features_uv.shape[0]
 
     # Viewing rays (camera_pinhole.h:52-69); z is positive for any
     # finite pixel, but keep the reference's z<0 flip for safety
@@ -134,18 +290,6 @@ def estimate_depths(
     ray_dir = jnp.where(ray_dir[..., 2:3] < 0, -ray_dir, ray_dir)
     ray_origin = jnp.zeros_like(ray_dir)
 
-    # ---- primary pass --------------------------------------------------
-    hx = cfg.pixelarea_search_witdh * 0.5
-    hy = cfg.pixelarea_search_height * 0.5
-    if cfg.do_use_ransac_plane:
-        nb1, nb2 = gather_neighbors_two_scales(
-            frame, camera, features_uv, hx, hy,
-            cfg.road_search_scale_x, cfg.road_search_scale_y,
-            cfg.primary_window, cfg.road_window)
-    else:
-        nb1 = gather_neighbors(frame, camera, features_uv, hx, hy,
-                               cfg.primary_window)
-        nb2 = None
     enough1 = nb1.count >= cfg.radiusSearch_count_min
 
     depth1 = nb1.z
@@ -227,8 +371,8 @@ def estimate_depths(
     # ---- road fallback -------------------------------------------------
     if cfg.do_use_ransac_plane:
         code_f, depth_f, road_count = _road_pass(
-            cfg, nb2, lidar_to_cam, ray_origin, ray_dir,
-            ground_plane, code_p, depth_primary, enough1, primary_success)
+            cfg, nb2, ray_origin, ray_dir, gp_coeffs_cam, gp_ok,
+            code_p, depth_primary, enough1, primary_success)
     else:
         code_f, depth_f = code_p, depth_primary
         road_count = jnp.zeros((N,), jnp.int32)
@@ -315,24 +459,27 @@ def _segment_depth(cfg, points, seg_mask, ray_dir, ray_origin,
     return depth, code, tri.corners
 
 
-def _road_pass(cfg, nb2, lidar_to_cam: SE3, ray_origin,
-               ray_dir, gp: GroundPlane, code_p, depth_primary,
-               enough1, primary_success):
+def _road_pass(cfg, nb2, ray_origin, ray_dir, gp_coeffs_cam, gp_ok,
+               code_p, depth_primary, enough1, primary_success):
     """Road-feature fallback (DepthEstimator.cpp:578-597 + :782-900 +
-    RoadDepthEstimator*.cpp)."""
+    RoadDepthEstimator*.cpp).
+
+    Ground-plane distances: the reference maps each camera-frame
+    neighbor back to the lidar frame (DepthEstimator.cpp:810-812);
+    a rigid transform preserves point-plane distance, so the caller
+    transforms the PLANE once into the camera frame (plane_to_camera)
+    and this pass reuses the already-gathered camera-frame points —
+    identical values, one [4]-vector transform instead of an
+    [N, K, 3] gather.  `gp_coeffs_cam` is [4] (one plane for all
+    features) or [N, 4] (the fused two-frame path); `gp_ok` broadcasts
+    likewise.
+    """
     N = ray_dir.shape[0]
     enough2 = nb2.count >= cfg.radiusSearch_count_min
 
-    # Ground-plane distances: the reference maps each camera-frame
-    # neighbor back to the lidar frame (DepthEstimator.cpp:810-812);
-    # a rigid transform preserves point-plane distance, so we instead
-    # transform the PLANE once into the camera frame (n_c = R n_l,
-    # d_c = d_l - n_c·t) and reuse the already-gathered camera-frame
-    # points — identical values, one [4]-vector transform instead of an
-    # [N, K, 3] gather.
-    n_c = (lidar_to_cam.rotation @ gp.coeffs[:3][..., None])[..., 0]
-    d_c = gp.coeffs[3] - jnp.sum(n_c * lidar_to_cam.translation)
-    coeffs_cam = jnp.concatenate([n_c, d_c[None]])
+    coeffs_cam = gp_coeffs_cam
+    if coeffs_cam.ndim == 2:
+        coeffs_cam = coeffs_cam[:, None, :]  # [N, 1, 4] vs points [N, K, 3]
     gp_dist = point_plane_distance(nb2.points_cam, coeffs_cam)
     any_far = jnp.any(
         nb2.mask & (gp_dist > cfg.ransac_plane_point_distance_treshold), axis=-1)
@@ -382,7 +529,7 @@ def _road_pass(cfg, nb2, lidar_to_cam: SE3, ray_origin,
     # Assemble (DepthEstimator.cpp:578-599): road runs only when the
     # primary pass got past the neighbor check but did not succeed, and
     # a segmented ground plane exists.
-    road_applicable = gp.ok & enough1 & ~primary_success
+    road_applicable = gp_ok & enough1 & ~primary_success
     # neighbor-gather failure in the road pass overrides the old code:
     code = jnp.where(road_applicable,
                      jnp.where(enough2,

@@ -45,7 +45,9 @@ from .projection import POINT_NOT_DEFINED, FrameCloud
 
 
 class NeighborSet(NamedTuple):
-    indices: jnp.ndarray  # [N, K] int32 raw point indices (-1 where ~mask)
+    indices: Optional[jnp.ndarray]  # [N, K] int32 raw point indices
+    #                                 (-1 where ~mask); None unless
+    #                                 requested (with_indices)
     mask: jnp.ndarray  # [N, K] bool: cell in rect && holds a point
     points_cam: jnp.ndarray  # [N, K, 3] camera-frame points (0 where ~mask)
     count: jnp.ndarray  # [N] int32 number of neighbors
@@ -60,6 +62,7 @@ def gather_neighbors(
     half_size_x: float,
     half_size_y: float,
     window: tuple[int, int],
+    with_indices: bool = True,
 ) -> NeighborSet:
     """Slice grid windows for all features at once.
 
@@ -70,6 +73,11 @@ def gather_neighbors(
       half_size_x/y: rectangle half extents in pixels (already scaled;
         the reference computes w*0.5*scale, NeighborFinderPixel.cpp:67-68).
       window: static (Ky, Kx) cell counts (config.window_cells upper bound).
+      with_indices: include the raw-point-index channel in the slice.
+        Only the region-growing path consumes indices; skipping the
+        third channel cuts the window-kernel work by ~1/3 (occupancy is
+        derived from the z plane instead: winners always have z > 0, so
+        z_enc == 0 ⇔ empty cell).
     """
     H, W = frame.grid.shape
     Ky, Kx = window
@@ -95,10 +103,13 @@ def gather_neighbors(
 
     # Raw point indices ride the f32 slice as a channel (exact for
     # indices < 2^24; max_points is capped at 2^17 by the grid packing).
-    stack = jnp.concatenate(
-        [frame.planes, frame.grid.astype(jnp.float32)[None]], axis=0)
+    if with_indices:
+        stack = jnp.concatenate(
+            [frame.planes, frame.grid.astype(jnp.float32)[None]], axis=0)
+    else:
+        stack = frame.planes
 
-    win = slice_windows(stack, sy, sx, Ky, Kx)  # [N, 3, Ky, Kx]
+    win = slice_windows(stack, sy, sx, Ky, Kx)  # [N, C, Ky, Kx]
 
     dy = jnp.arange(Ky, dtype=jnp.int32)
     dx = jnp.arange(Kx, dtype=jnp.int32)
@@ -110,11 +121,16 @@ def gather_neighbors(
 
     N = features_uv.shape[0]
     K = Ky * Kx
-    winf = win.reshape(N, 3, K)
-    idx = winf[:, 2].astype(jnp.int32)
-    mask = cell_ok.reshape(N, K) & (idx != POINT_NOT_DEFINED)
-
+    winf = win.reshape(N, -1, K)
     z_enc = winf[:, 0]
+    if with_indices:
+        idx = winf[:, 2].astype(jnp.int32)
+        mask = cell_ok.reshape(N, K) & (idx != POINT_NOT_DEFINED)
+    else:
+        idx = None
+        # winners always have camera-z > 0, so z_enc == 0 ⇔ empty cell
+        mask = cell_ok.reshape(N, K) & (z_enc != 0.0)
+
     flags = mask & (z_enc < 0)
     zs = jnp.where(mask, jnp.abs(z_enc), 0.0)
 
@@ -134,7 +150,8 @@ def gather_neighbors(
     pts = jnp.where(mask[..., None], jnp.stack([xs, ys, zs], axis=-1), 0.0)
 
     return NeighborSet(
-        indices=jnp.where(mask, idx, POINT_NOT_DEFINED),
+        indices=(jnp.where(mask, idx, POINT_NOT_DEFINED)
+                 if with_indices else None),
         mask=mask,
         points_cam=pts,
         count=jnp.sum(mask, axis=-1).astype(jnp.int32),
@@ -153,6 +170,7 @@ def gather_neighbors_two_scales(
     scale_y: float,
     window_small: tuple[int, int],
     window_large: tuple[int, int],
+    with_indices: bool = True,
 ) -> tuple[NeighborSet, NeighborSet]:
     """Both search scales (primary + road retry, DepthEstimator.cpp:585).
 
@@ -162,7 +180,8 @@ def gather_neighbors_two_scales(
     order of both outputs is row-major, preserving scan-order parity.
     """
     small = gather_neighbors(frame, camera, features_uv, half_x, half_y,
-                             window_small)
+                             window_small, with_indices=with_indices)
     big = gather_neighbors(frame, camera, features_uv,
-                           half_x * scale_x, half_y * scale_y, window_large)
+                           half_x * scale_x, half_y * scale_y, window_large,
+                           with_indices=with_indices)
     return small, big

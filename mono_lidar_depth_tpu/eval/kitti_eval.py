@@ -84,7 +84,7 @@ def eval_depth_sequence(seq: KittiSequence, cfg: DepthEstimatorConfig,
     prime: list = []
     for frame, f in _frame_inputs(seq, cfg, max_frames, prime):
         if prime:
-            state = prime_state(cfg, state, *prime.pop(),
+            state = prime_state(cfg, cam, T, state, *prime.pop(),
                                 jax.random.PRNGKey(1234))
         state, depths, codes = process_frame(cfg, cam, T, state, frame)
         frames += 1
@@ -119,7 +119,8 @@ def eval_vo_sequence(seq: KittiSequence, cfg: DepthEstimatorConfig,
     for frame, f in _frame_inputs(seq, cfg, max_frames, prime):
         if prime:
             state = state._replace(tracklets=prime_state(
-                cfg, state.tracklets, *prime.pop(), jax.random.PRNGKey(1234)))
+                cfg, cam, T, state.tracklets, *prime.pop(),
+                jax.random.PRNGKey(1234)))
         state, R_cw, t_cw, diag = odometry_step(cfg, ocfg, cam, T, state,
                                                 frame)
         R_cw = np.asarray(R_cw)

@@ -10,12 +10,20 @@ TPU-first structure: the observation set is a dense [K, L] grid
 every Jacobian/Hessian contraction is an einsum that XLA maps onto the
 MXU.  One Gauss-Newton iteration is:
 
-  residuals:  reprojection [K, L, 2] + lidar depth prior [K, L]
-  blocks:     Hpp [K,6,6], Hll [L,3,3], Hpl [K,L,6,3], gradients
+  residuals:  reprojection [K, 2, L] + lidar depth prior [K, L]
+  blocks:     Hpp [K,6,6], Hll [3,3,L], Hpl [K,6,3,L], gradients
   Schur:      S = Hpp ⊕ − W Hplᵀ with W = Hpl Hll⁻¹   (landmarks
-              eliminated with a closed-form 3x3 block inverse)
-  solve:      dense [6K, 6K] system (K is the window size, ~10)
+              eliminated with a closed-form adjugate 3x3 inverse)
+  solve:      dense [6K, 6K] system (K is the window size, ~5-10)
   back-sub:   dl = Hll⁻¹ (−bl − Hplᵀ dxi)
+
+Memory layout: every per-landmark tensor keeps L as the MINOR (lane)
+dimension — [K, 2, 6, L], [3, 3, L] — so nothing tile-pads.  The naive
+[K, L, 2, 6] layout puts (2, 6) on the (sublane, lane) tile, padding to
+(8, 128): ~85x the bytes, which made one GN iteration ~2.3 ms on v5e;
+this layout runs the same math in ~0.2 ms.  Contractions over (r, l)
+or (m, l) reshape to a single big minor axis and run as one MXU matmul
+per block.
 
 The same blocks are what the distributed version psums across devices
 (landmarks sharded, reduced camera system replicated) — see dist/.
@@ -54,51 +62,82 @@ class BAResult(NamedTuple):
     final_cost: jnp.ndarray
 
 
-def _proj_residuals(camera, problem: BAProblem, min_depth=0.25):
-    """Returns r [K,L,2], Jpose [K,L,2,6], Jlm [K,L,2,3], active [K,L]."""
-    R, t, X = problem.R, problem.t, problem.landmarks
-    p = jnp.einsum("kij,lj->kli", R, X) + t[:, None, :]  # [K, L, 3]
-    z = p[..., 2]
+def _residuals_lanes(camera, pb: BAProblem, min_depth=0.25):
+    """Project all landmarks into all cameras, L-minor layout.
+
+    Returns (r [K,2,L], p [K,3,L], inv_z [K,L], active [K,L],
+             r_d [K,L], active_d [K,L]).
+    """
+    # [K, 3, L] = R @ X^T + t  — one [3,3]x[3,L] matmul per camera.
+    p = jnp.einsum("kij,jl->kil", pb.R, pb.landmarks.T) + pb.t[:, :, None]
+    z = p[:, 2]
     behind = z <= min_depth
-    zs = jnp.maximum(z, min_depth)
-    inv_z = 1.0 / zs
+    inv_z = 1.0 / jnp.maximum(z, min_depth)
     f = camera.focal_length
-    u = f * p[..., 0] * inv_z + camera.cx
-    v = f * p[..., 1] * inv_z + camera.cy
-    r = jnp.stack([u, v], axis=-1) - problem.obs_uv
-    zero = jnp.zeros_like(inv_z)
+    u = f * p[:, 0] * inv_z + camera.cx
+    v = f * p[:, 1] * inv_z + camera.cy
+    obs = jnp.swapaxes(pb.obs_uv, 1, 2)  # [K, 2, L]
+    r = jnp.stack([u, v], axis=1) - obs
+    active = pb.obs_mask & pb.lm_valid[None, :] & ~behind
+
+    r_d = z - pb.depth_prior
+    active_d = (pb.depth_mask & pb.obs_mask & pb.lm_valid[None, :]
+                & (z > min_depth) & (pb.depth_prior > 0))
+    return r, p, inv_z, active, r_d, active_d
+
+
+def _jacobians_lanes(camera, pb: BAProblem, p, inv_z):
+    """Reprojection + depth-prior Jacobians, L-minor layout.
+
+    Jpose [K,2,6,L]: d(u,v)/d(se3 twist [t, w]), left-multiplied
+      convention (standard projection Jacobian times [I | -hat(p)]).
+    Jlm   [K,2,3,L]: d(u,v)/d(world point) = Jp @ R.
+    Jpose_d [K,6,L], Jlm_d [K,3,L]: depth-residual rows (r_d = p_z - d).
+    """
+    f = camera.focal_length
+    x, y = p[:, 0], p[:, 1]
+    xiz = x * inv_z  # x/z
+    yiz = y * inv_z
+    fiz = f * inv_z
+    zero = jnp.zeros_like(fiz)
+    # rows of Jp @ [I | -hat(p)] written out (verified against the
+    # einsum-built form; see tests/test_odometry.py ba parity fuzz):
+    Ju = jnp.stack([fiz, zero, -fiz * xiz,
+                    -f * xiz * yiz, f * (1.0 + xiz * xiz), -f * yiz], axis=1)
+    Jv = jnp.stack([zero, fiz, -fiz * yiz,
+                    -f * (1.0 + yiz * yiz), f * xiz * yiz, f * xiz], axis=1)
+    Jpose = jnp.stack([Ju, Jv], axis=1)  # [K, 2, 6, L]
+
+    # Jp [K,2,3,L] entries, then Jlm = einsum over the tiny i index.
     Jp = jnp.stack([
-        jnp.stack([f * inv_z, zero, -f * p[..., 0] * inv_z * inv_z], -1),
-        jnp.stack([zero, f * inv_z, -f * p[..., 1] * inv_z * inv_z], -1),
-    ], axis=-2)  # [K, L, 2, 3]
-    px, py, pz = p[..., 0], p[..., 1], p[..., 2]
-    zeros = jnp.zeros_like(px)
-    hat_p = jnp.stack([
-        jnp.stack([zeros, -pz, py], -1),
-        jnp.stack([pz, zeros, -px], -1),
-        jnp.stack([-py, px, zeros], -1),
-    ], axis=-2)  # [K, L, 3, 3]
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=p.dtype), hat_p.shape)
-    Jx = jnp.concatenate([eye, -hat_p], axis=-1)  # [K, L, 3, 6]
-    Jpose = Jp @ Jx  # [K, L, 2, 6]
-    Jlm = jnp.einsum("klri,kij->klrj", Jp, R)  # [K, L, 2, 3]
-    active = problem.obs_mask & problem.lm_valid[None, :] & ~behind
-    return r, Jpose, Jlm, active, p
+        jnp.stack([fiz, zero, -fiz * xiz], axis=1),
+        jnp.stack([zero, fiz, -fiz * yiz], axis=1),
+    ], axis=1)  # [K, 2, 3, L]
+    Jlm = jnp.einsum("kril,kij->krjl", Jp, pb.R)  # [K, 2, 3, L]
+
+    one = jnp.ones_like(x)
+    Jpose_d = jnp.stack([zero, zero, one, y, -x, zero], axis=1)  # [K, 6, L]
+    Jlm_d = pb.R[:, 2, :, None] * jnp.ones_like(x)[:, None, :]  # [K, 3, L]
+    return Jpose, Jlm, Jpose_d, Jlm_d
 
 
-def _depth_residuals(problem: BAProblem, p, min_depth=0.25):
-    """Depth-prior residual r_d = p_z - d, with Jacobian rows."""
-    r_d = p[..., 2] - problem.depth_prior  # [K, L]
-    px, py = p[..., 0], p[..., 1]
-    zeros = jnp.zeros_like(px)
-    ones = jnp.ones_like(px)
-    # e_z^T [I | -hat(p)] = [0, 0, 1, -(-py), -(px), 0] → [0,0,1, py?..]
-    # row of -hat(p): third row is [-py, px, 0]; with the leading minus:
-    Jpose_d = jnp.stack([zeros, zeros, ones, py, -px, zeros], axis=-1)
-    Jlm_d = problem.R[:, None, 2, :] * jnp.ones_like(px)[..., None]  # [K,L,3]
-    active = problem.depth_mask & problem.obs_mask & problem.lm_valid[None, :]
-    active = active & (p[..., 2] > min_depth) & (problem.depth_prior > 0)
-    return r_d, Jpose_d, Jlm_d, active
+def _inv3x3_lanes(H):
+    """Closed-form inverse of [3, 3, L] matrices (adjugate / det) —
+    pure elementwise lanes, no LAPACK, no batched-loop lowering."""
+    a, b, c = H[0, 0], H[0, 1], H[0, 2]
+    d, e, f_ = H[1, 0], H[1, 1], H[1, 2]
+    g, h, i = H[2, 0], H[2, 1], H[2, 2]
+    A = e * i - f_ * h
+    B = -(d * i - f_ * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    inv_det = 1.0 / det
+    adj = jnp.stack([
+        jnp.stack([A, -(b * i - c * h), b * f_ - c * e], axis=0),
+        jnp.stack([B, a * i - c * g, -(a * f_ - c * d)], axis=0),
+        jnp.stack([C, -(a * h - b * g), a * e - b * d], axis=0),
+    ], axis=0)
+    return adj * inv_det
 
 
 def _huber_w(err, delta):
@@ -108,11 +147,10 @@ def _huber_w(err, delta):
 def ba_cost(camera, pb: BAProblem, huber_px: float = 2.0,
             depth_weight: float = 1.0, huber_depth: float = 0.5,
             axis_name: str | None = None) -> jnp.ndarray:
-    r, _, _, active, p = _proj_residuals(camera, pb)
-    err = jnp.linalg.norm(r, axis=-1)
+    r, _, _, active, r_d, active_d = _residuals_lanes(camera, pb)
+    err = jnp.sqrt(jnp.sum(r * r, axis=1) + 1e-18)  # [K, L]
     c = jnp.sum(jnp.where(active, jnp.minimum(err, huber_px) *
                           (err - 0.5 * jnp.minimum(err, huber_px)), 0.0))
-    r_d, _, _, active_d = _depth_residuals(pb, p)
     ed = jnp.abs(r_d)
     c_d = jnp.sum(jnp.where(
         active_d, depth_weight * jnp.minimum(ed, huber_depth) *
@@ -137,46 +175,55 @@ def ba_iteration(camera, pb: BAProblem, huber_px: float, depth_weight: float,
     per-device work scales with L/D, communication is O(K^2) only.
     """
     K = pb.R.shape[0]
-    r, Jpose, Jlm, active, p = _proj_residuals(camera, pb)
-    err = jnp.linalg.norm(r, axis=-1)
-    w = jnp.where(active, _huber_w(err, huber_px), 0.0)  # [K, L]
+    r, p, inv_z, active, r_d, active_d = _residuals_lanes(camera, pb)
+    Jpose, Jlm, Jpose_d, Jlm_d = _jacobians_lanes(camera, pb, p, inv_z)
 
-    r_d, Jpose_d, Jlm_d, active_d = _depth_residuals(pb, p)
+    err = jnp.sqrt(jnp.sum(r * r, axis=1) + 1e-18)  # [K, L]
+    w = jnp.where(active, _huber_w(err, huber_px), 0.0)  # [K, L]
     w_d = jnp.where(active_d,
                     depth_weight * _huber_w(jnp.abs(r_d), huber_depth),
                     0.0)
 
-    # Hessian blocks (reprojection + depth prior).
-    Hpp = (jnp.einsum("kl,klri,klrj->kij", w, Jpose, Jpose)
-           + jnp.einsum("kl,kli,klj->kij", w_d, Jpose_d, Jpose_d))
-    Hll = (jnp.einsum("kl,klri,klrj->lij", w, Jlm, Jlm)
-           + jnp.einsum("kl,kli,klj->lij", w_d, Jlm_d, Jlm_d))
-    Hpl = (jnp.einsum("kl,klri,klrj->klij", w, Jpose, Jlm)
-           + jnp.einsum("kl,kli,klj->klij", w_d, Jpose_d, Jlm_d))
-    bp = (jnp.einsum("kl,klri,klr->ki", w, Jpose, r)
-          + jnp.einsum("kl,kli,kl->ki", w_d, Jpose_d, r_d))
-    bl = (jnp.einsum("kl,klri,klr->li", w, Jlm, r)
-          + jnp.einsum("kl,kli,kl->li", w_d, Jlm_d, r_d))
+    # Weighted Jacobians (fold w into one operand so every Hessian
+    # block is a plain contraction).
+    Jpw = Jpose * w[:, None, None, :]
+    Jlw = Jlm * w[:, None, None, :]
+    Jpdw = Jpose_d * w_d[:, None, :]
+    Jldw = Jlm_d * w_d[:, None, :]
+
+    # Hessian blocks (reprojection + depth prior).  Contractions over
+    # (r, l) / l with L minor: MXU matmuls, no tile padding anywhere.
+    Hpp = (jnp.einsum("kril,krjl->kij", Jpw, Jpose)
+           + jnp.einsum("kil,kjl->kij", Jpdw, Jpose_d))
+    Hll = (jnp.einsum("kril,krjl->ijl", Jlw, Jlm)
+           + jnp.einsum("kil,kjl->ijl", Jldw, Jlm_d))  # [3, 3, L]
+    Hpl = (jnp.einsum("kril,krjl->kijl", Jpw, Jlm)
+           + jnp.einsum("kil,kjl->kijl", Jpdw, Jlm_d))  # [K, 6, 3, L]
+    bp = (jnp.einsum("kril,krl->ki", Jpw, r)
+          + jnp.einsum("kil,kl->ki", Jpdw, r_d))
+    bl = (jnp.einsum("kril,krl->il", Jlw, r)
+          + jnp.einsum("kil,kl->il", Jldw, r_d))  # [3, L]
 
     # Relative (Marquardt) damping: the absolute scale of Hll blocks is
     # ~f^2/z^2 and varies by orders of magnitude; damping proportional
     # to the block trace bounds the condition number at ~3/damping so
     # the f32 block inverse cannot overflow (a fixed 1e-4 floor let
-    # cond reach ~5e7 and jnp.linalg.inv returned inf).
-    obs_cnt = jnp.sum(w, axis=0) + jnp.sum(w_d, axis=0)
+    # cond reach ~5e7 and the inverse returned inf).
+    obs_cnt = jnp.sum(w, axis=0) + jnp.sum(w_d, axis=0)  # [L]
     lm_free = (obs_cnt > 0) & pb.lm_valid
-    tr_l = jnp.trace(Hll, axis1=-2, axis2=-1) / 3.0
-    Hll = Hll + (damping * jnp.maximum(tr_l, 1.0) + 1e-8)[:, None, None] \
-        * jnp.eye(3, dtype=Hll.dtype)
-    Hll = jnp.where(lm_free[:, None, None], Hll,
-                    jnp.eye(3, dtype=Hll.dtype))
-    bl = jnp.where(lm_free[:, None], bl, 0.0)
+    tr_l = (Hll[0, 0] + Hll[1, 1] + Hll[2, 2]) / 3.0  # [L]
+    lam = damping * jnp.maximum(tr_l, 1.0) + 1e-8
+    eye3 = jnp.eye(3, dtype=Hll.dtype)[:, :, None]
+    Hll = Hll + lam[None, None, :] * eye3
+    Hll = jnp.where(lm_free[None, None, :], Hll, eye3)
+    bl = jnp.where(lm_free[None, :], bl, 0.0)
 
-    Hll_inv = jnp.linalg.inv(Hll)  # [L, 3, 3] tiny blocks
-    W = jnp.einsum("klij,ljm->klim", Hpl, Hll_inv)  # [K, L, 6, 3]
+    Hll_inv = _inv3x3_lanes(Hll)  # [3, 3, L]
+    W = jnp.einsum("kiml,mjl->kijl", Hpl, Hll_inv)  # [K, 6, 3, L]
 
-    S_cross = jnp.einsum("klim,qljm->kqij", W, Hpl)  # [K, K, 6, 6]
-    b_red_lm = jnp.einsum("klim,lm->ki", W, bl)  # [K, 6]
+    # Reduced camera system: contraction over (m, l) as one matmul.
+    S_cross = jnp.einsum("kiml,qjml->kqij", W, Hpl)  # [K, K, 6, 6]
+    b_red_lm = jnp.einsum("kiml,ml->ki", W, bl)  # [K, 6]
 
     if axis_name is not None:
         # Reduce the camera system over landmark shards (ICI psum).
@@ -205,28 +252,37 @@ def ba_iteration(camera, pb: BAProblem, huber_px: float, depth_weight: float,
     dxi = jnp.where(fix[:, None], 0.0, dxi)
 
     # back-substitute landmarks (local to each shard)
-    rhs = -bl - jnp.einsum("klij,ki->lj", Hpl, dxi)
-    dl = jnp.einsum("lij,lj->li", Hll_inv, rhs)
-    dl = jnp.where(lm_free[:, None], dl, 0.0)
+    rhs = -bl - jnp.einsum("kijl,ki->jl", Hpl, dxi)  # [3, L]
+    dl = jnp.einsum("ijl,jl->il", Hll_inv, rhs)  # [3, L]
+    dl = jnp.where(lm_free[None, :], dl, 0.0)
 
     dR, dt = se3_exp(dxi)
     R_new = dR @ pb.R
     t_new = jnp.einsum("kij,kj->ki", dR, pb.t) + dt
-    return pb._replace(R=R_new, t=t_new, landmarks=pb.landmarks + dl)
+    return pb._replace(R=R_new, t=t_new, landmarks=pb.landmarks + dl.T)
 
 
 @partial(jax.jit, static_argnames=("camera", "iters", "huber_px",
-                                   "depth_weight", "huber_depth", "damping"))
+                                   "depth_weight", "huber_depth", "damping",
+                                   "compute_cost"))
 def run_ba(camera, problem: BAProblem, iters: int = 8,
            huber_px: float = 2.0, depth_weight: float = 1.0,
-           huber_depth: float = 0.5, damping: float = 1e-4) -> BAResult:
-    """Run `iters` damped Gauss-Newton iterations (single device)."""
+           huber_depth: float = 0.5, damping: float = 1e-4,
+           compute_cost: bool = True) -> BAResult:
+    """Run `iters` damped Gauss-Newton iterations (single device).
+
+    `compute_cost=False` skips the initial/final diagnostic cost
+    evaluations (two full residual passes, ~40% of a 6-iteration solve's
+    wall clock) — the VO hot path uses only the optimized poses."""
 
     def iteration(_, pb):
         return ba_iteration(camera, pb, huber_px, depth_weight,
                             huber_depth, damping)
 
-    c0 = ba_cost(camera, problem, huber_px, depth_weight, huber_depth)
+    zero = jnp.float32(0)
+    c0 = ba_cost(camera, problem, huber_px, depth_weight, huber_depth) \
+        if compute_cost else zero
     out = jax.lax.fori_loop(0, iters, iteration, problem)
-    c1 = ba_cost(camera, out, huber_px, depth_weight, huber_depth)
+    c1 = ba_cost(camera, out, huber_px, depth_weight, huber_depth) \
+        if compute_cost else zero
     return BAResult(problem=out, initial_cost=c0, final_cost=c1)

@@ -165,7 +165,7 @@ def odometry_step(
     # (jnp.where would run it and discard the result).
     def _solve(pb):
         res = run_ba(camera, pb, iters=ocfg.ba_iters,
-                     depth_weight=ocfg.depth_weight)
+                     depth_weight=ocfg.depth_weight, compute_cost=False)
         return res.problem.R, res.problem.t
 
     ba_R, ba_t = jax.lax.cond(

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from ..core.geometry import PinholeCamera
 from .lie import se3_exp
+from .linalg6 import solve6_spd
 
 
 class PoseEstimate(NamedTuple):
@@ -60,46 +61,47 @@ def estimate_pose_gn(
     if t_init is None:
         t_init = jnp.zeros(3, dtype=jnp.float32)
 
+    # N-minor (lane) layout throughout: p [3, N], J [2, 6, N] — the
+    # [N, 2, 6] form tile-pads (2, 6) to (8, 128) and multiplies the
+    # per-iteration memory traffic ~85x (same restructure as vo/ba.py).
+    X_t = landmarks_ref.T  # [3, N]
+
     def residuals_and_jac(R, t):
-        p = landmarks_ref @ R.T + t  # [N, 3]
-        z = jnp.maximum(p[:, 2], min_depth)
+        p = R @ X_t + t[:, None]  # [3, N]
+        z = jnp.maximum(p[2], min_depth)
         inv_z = 1.0 / z
-        u = f * p[:, 0] * inv_z + camera.cx
-        v = f * p[:, 1] * inv_z + camera.cy
-        r = jnp.stack([u - obs_uv[:, 0], v - obs_uv[:, 1]], axis=1)  # [N,2]
-        # d(proj)/d(p) [N, 2, 3]
-        zero = jnp.zeros_like(inv_z)
-        Jp = jnp.stack([
-            jnp.stack([f * inv_z, zero, -f * p[:, 0] * inv_z * inv_z], 1),
-            jnp.stack([zero, f * inv_z, -f * p[:, 1] * inv_z * inv_z], 1),
-        ], axis=1)
-        # d(p)/d(xi) for left-perturbation exp(xi) ∘ T: [I | -hat(p)]
-        px, py, pz = p[:, 0], p[:, 1], p[:, 2]
-        zeros = jnp.zeros_like(px)
-        hat_p = jnp.stack([
-            jnp.stack([zeros, -pz, py], 1),
-            jnp.stack([pz, zeros, -px], 1),
-            jnp.stack([-py, px, zeros], 1),
-        ], axis=1)  # [N, 3, 3]
-        Jx = jnp.concatenate([
-            jnp.broadcast_to(jnp.eye(3, dtype=p.dtype), (N, 3, 3)),
-            -hat_p], axis=2)  # [N, 3, 6]
-        J = Jp @ Jx  # [N, 2, 6]
-        behind = p[:, 2] <= min_depth
+        u = f * p[0] * inv_z + camera.cx
+        v = f * p[1] * inv_z + camera.cy
+        r = jnp.stack([u - obs_uv[:, 0], v - obs_uv[:, 1]], axis=0)  # [2,N]
+        x, y = p[0], p[1]
+        xiz = x * inv_z
+        yiz = y * inv_z
+        fiz = f * inv_z
+        zero = jnp.zeros_like(fiz)
+        # rows of Jp @ [I | -hat(p)] (left-perturbation exp(xi) ∘ T),
+        # same closed form as vo/ba.py _jacobians_lanes
+        Ju = jnp.stack([fiz, zero, -fiz * xiz,
+                        -f * xiz * yiz, f * (1.0 + xiz * xiz), -f * yiz], 0)
+        Jv = jnp.stack([zero, fiz, -fiz * yiz,
+                        -f * (1.0 + yiz * yiz), f * xiz * yiz, f * xiz], 0)
+        J = jnp.stack([Ju, Jv], axis=0)  # [2, 6, N]
+        behind = p[2] <= min_depth
         return r, J, behind
 
     def make_step(sel_mask):
         def step(_, state):
             R, t = state
             r, J, behind = residuals_and_jac(R, t)
-            err = jnp.linalg.norm(r, axis=1)
+            err = jnp.sqrt(jnp.sum(r * r, axis=0) + 1e-18)
             w_h = jnp.where(err <= huber_px, 1.0,
                             huber_px / jnp.maximum(err, 1e-9))
-            w = jnp.where(sel_mask & ~behind, w_h, 0.0)[:, None, None]
-            H = jnp.einsum("nri,nrj->ij", J * w, J)
-            g = jnp.einsum("nri,nr->i", J * w, r)
+            w = jnp.where(sel_mask & ~behind, w_h, 0.0)[None, None, :]
+            H = jnp.einsum("rin,rjn->ij", J * w, J)
+            g = jnp.einsum("rin,rn->i", J * w, r)
             H = H + 1e-6 * jnp.eye(6, dtype=H.dtype)
-            dx = -jnp.linalg.solve(H, g)
+            # closed-form block solve: ~17 jnp.linalg.solve custom
+            # calls per frame cost ~80 us of launch latency EACH
+            dx = -solve6_spd(H, g)
             dR, dt = se3_exp(dx)
             return dR @ R, (dR @ t[..., None])[..., 0] + dt
         return step
@@ -110,7 +112,7 @@ def estimate_pose_gn(
     # IRLS alone still lets gross outliers bias the solution through
     # their bounded-but-nonzero Huber weight.
     r, _, behind = residuals_and_jac(R, t)
-    err = jnp.linalg.norm(r, axis=1)
+    err = jnp.sqrt(jnp.sum(r * r, axis=0) + 1e-18)
     stage2_valid = valid & ~behind & (err < outlier_px)
     enough = jnp.sum(stage2_valid) >= 6
 
@@ -120,7 +122,7 @@ def estimate_pose_gn(
     t = jnp.where(enough, t2, t)
 
     r, _, behind = residuals_and_jac(R, t)
-    err = jnp.linalg.norm(r, axis=1)
+    err = jnp.sqrt(jnp.sum(r * r, axis=0) + 1e-18)
     inliers = valid & ~behind & (err < outlier_px)
     n_in = jnp.sum(inliers)
     mean_err = jnp.sum(jnp.where(inliers, err, 0.0)) / jnp.maximum(n_in, 1)

@@ -193,3 +193,56 @@ def test_collect_debug_record():
     out2 = estimate_depths(CFG, CAM, SE3.identity(), cloud, cvalid,
                            feats, fvalid, None)
     assert out2.debug is None
+
+
+def test_estimate_depths_pair_matches_single_calls():
+    """The fused two-frame pipeline must equal two independent passes."""
+    import jax
+    from mono_lidar_depth_tpu import (estimate_depths_from_frame,
+                                      fit_ground_plane_ransac,
+                                      rasterize_cloud)
+    from mono_lidar_depth_tpu.core.depth_estimator import estimate_depths_pair
+
+    rng = np.random.default_rng(42)
+    cfg = CFG
+    cam = CAM
+    T = SE3.identity()
+
+    def scene(seed):
+        r = np.random.default_rng(seed)
+        ground = r.uniform([-8, 1.2, 2], [8, 1.6, 40], (600, 3))
+        wall = r.uniform([-6, -3, 18], [6, 1.2, 19], (300, 3))
+        pts = np.vstack([ground, wall]).astype(np.float32)
+        cloud = np.zeros((cfg.max_points, 3), np.float32)
+        cloud[:len(pts)] = pts
+        valid = np.arange(cfg.max_points) < len(pts)
+        return jnp.asarray(cloud), jnp.asarray(valid)
+
+    ca, va = scene(1)
+    cb, vb = scene(2)
+    gpa = fit_ground_plane_ransac(ca, va, jax.random.PRNGKey(0))
+    gpb = fit_ground_plane_ransac(cb, vb, jax.random.PRNGKey(1))
+    fa = rasterize_cloud(cfg, cam, T, ca, va, gpa)
+    fb = rasterize_cloud(cfg, cam, T, cb, vb, gpb)
+    N = 128
+    uva = jnp.asarray(rng.uniform([1, 1], [cam.width - 1, cam.height - 1],
+                                  (N, 2)).astype(np.float32))
+    uvb = jnp.asarray(rng.uniform([1, 1], [cam.width - 1, cam.height - 1],
+                                  (N, 2)).astype(np.float32))
+    vaf = jnp.asarray(rng.random(N) > 0.2)
+    vbf = jnp.asarray(rng.random(N) > 0.2)
+
+    ea, eb = estimate_depths_pair(cfg, cam, T, fa, uva, vaf, gpa,
+                                  fb, uvb, vbf, gpb)
+    ra = estimate_depths_from_frame(cfg, cam, T, fa, uva, vaf, gpa)
+    rb = estimate_depths_from_frame(cfg, cam, T, fb, uvb, vbf, gpb)
+    np.testing.assert_array_equal(np.asarray(ea.codes), np.asarray(ra.codes))
+    np.testing.assert_array_equal(np.asarray(eb.codes), np.asarray(rb.codes))
+    np.testing.assert_allclose(np.asarray(ea.depths), np.asarray(ra.depths),
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(eb.depths), np.asarray(rb.depths),
+                               rtol=0, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ea.counters),
+                                  np.asarray(ra.counters))
+    np.testing.assert_array_equal(np.asarray(eb.counters),
+                                  np.asarray(rb.counters))
