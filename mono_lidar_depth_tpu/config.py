@@ -169,6 +169,13 @@ class DepthEstimatorConfig:
     road_search_scale_x: float = 2.0
     road_search_scale_y: float = 1.5
 
+    # Semantic ground-plane path: road-class label set (the reference
+    # hardcodes {6, 7, 8, 9}, tracklet_depth_module.cpp:280 /
+    # RansacPlane.h:217); the inlier threshold is
+    # ransac_plane_refinement_treshold, as in the reference
+    # (tracklet_depth_module.cpp:281-284).
+    semantic_ground_labels: tuple = (6, 7, 8, 9)
+
     # Per-feature forensic record (the reference's do_debug_singleFeatures
     # / DepthCalcStatsSinglePoint): when set, estimate_depths returns a
     # DepthDebug pytree for ALL features.

@@ -36,12 +36,15 @@ from ..vo.pose_graph import PoseGraph, optimize_pose_graph
 def _frame_inputs(seq: KittiSequence, cfg: DepthEstimatorConfig,
                   max_frames: Optional[int] = None,
                   prime: Optional[list] = None,
-                  pyramid_levels: int = 4):
+                  pyramid_levels: int = 4,
+                  use_semantics: bool = False):
     """Generator of (FrameInput, frame index) over a sequence, driving
     the internal tracker on the grayscale images.  Frame 0 initializes
     the tracker; if `prime` is a list, its padded cloud is appended to
     it so the caller can prime the tracklet state (see
-    tracks.pipeline.prime_state)."""
+    tracks.pipeline.prime_state).  With `use_semantics` the sequence's
+    semantic label images ride along (the reference's 4-way sync path);
+    missing semantics raise."""
     tracker_state = None
     prev_key = jax.random.PRNGKey(0)
     n = len(seq) if max_frames is None else min(len(seq), max_frames)
@@ -54,12 +57,20 @@ def _frame_inputs(seq: KittiSequence, cfg: DepthEstimatorConfig,
         if img is None:
             raise FileNotFoundError(
                 f"sequence {seq.sequence} has no image_0 data")
+        sem = None
+        if use_semantics:
+            sem = seq.semantic(f)
+            if sem is None:
+                raise FileNotFoundError(
+                    f"sequence {seq.sequence} has no semantic_0 data "
+                    f"(frame {f}) — semantic plane mode needs it")
+            sem = jnp.asarray(sem.astype(np.int32))
         jimg = jnp.asarray(img.astype(np.float32) / 255.0)
         if tracker_state is None:
             tracker_state = init_tracker(jimg, cfg.max_features,
                                          levels=pyramid_levels)
             if prime is not None:
-                prime.append((jnp.asarray(cloud), jnp.asarray(cvalid)))
+                prime.append((jnp.asarray(cloud), jnp.asarray(cvalid), sem))
             continue
         tracker_state, out = track_frame(tracker_state, jimg)
         prev_key, sub = jax.random.split(prev_key)
@@ -68,24 +79,32 @@ def _frame_inputs(seq: KittiSequence, cfg: DepthEstimatorConfig,
             cloud=jnp.asarray(cloud), cloud_valid=jnp.asarray(cvalid),
             ids=out.ids, ids_valid=out.valid,
             uv_new=out.uv_new, uv_prev=out.uv_prev,
-            stamp=jnp.asarray(stamp), rng=sub), f
+            stamp=jnp.asarray(stamp), rng=sub, semantic=sem), f
 
 
 def eval_depth_sequence(seq: KittiSequence, cfg: DepthEstimatorConfig,
                         max_frames: Optional[int] = None,
                         max_tracks: int = 4096, max_length: int = 12,
-                        verbose: bool = True) -> dict:
+                        verbose: bool = True,
+                        plane_mode: str = "ransac") -> dict:
     """Config 2: depth-augmented tracklets over a sequence; returns the
-    outcome statistics dict (success rates + counters)."""
+    outcome statistics dict (success rates + counters).
+
+    plane_mode: "ransac" (3-way-sync path) or "semantic" (4-way path —
+    the ground plane comes from the sequence's semantic label images)."""
+    if plane_mode not in ("ransac", "semantic"):
+        raise ValueError(f"unknown plane_mode {plane_mode!r}")
     state = TrackletDepthState.create(cfg, max_tracks, max_length)
     cam = seq.calib.camera
     T = seq.calib.lidar_to_cam
     frames = 0
     prime: list = []
-    for frame, f in _frame_inputs(seq, cfg, max_frames, prime):
+    for frame, f in _frame_inputs(seq, cfg, max_frames, prime,
+                                  use_semantics=plane_mode == "semantic"):
         if prime:
-            state = prime_state(cfg, cam, T, state, *prime.pop(),
-                                jax.random.PRNGKey(1234))
+            p_cloud, p_valid, p_sem = prime.pop()
+            state = prime_state(cfg, cam, T, state, p_cloud, p_valid,
+                                jax.random.PRNGKey(1234), semantic=p_sem)
         state, depths, codes = process_frame(cfg, cam, T, state, frame)
         frames += 1
         if verbose and frames % 50 == 0:
@@ -118,9 +137,10 @@ def eval_vo_sequence(seq: KittiSequence, cfg: DepthEstimatorConfig,
     prime: list = []
     for frame, f in _frame_inputs(seq, cfg, max_frames, prime):
         if prime:
+            p_cloud, p_valid, p_sem = prime.pop()
             state = state._replace(tracklets=prime_state(
-                cfg, cam, T, state.tracklets, *prime.pop(),
-                jax.random.PRNGKey(1234)))
+                cfg, cam, T, state.tracklets, p_cloud, p_valid,
+                jax.random.PRNGKey(1234), semantic=p_sem))
         state, R_cw, t_cw, diag = odometry_step(cfg, ocfg, cam, T, state,
                                                 frame)
         R_cw = np.asarray(R_cw)

@@ -140,6 +140,18 @@ class KittiSequence:
 
         return np.asarray(Image.open(p).convert("L"))
 
+    def semantic(self, index: int) -> Optional[np.ndarray]:
+        """Semantic label image as [H, W] uint8, or None if the sequence
+        has no semantics (real KITTI odometry ships none; the reference's
+        4-way-sync path consumes an external segmentation stream —
+        tracklet_depth_interface.cpp:61-99)."""
+        p = self.seq_dir / "semantic_0" / f"{index:06d}.png"
+        if not p.exists():
+            return None
+        from PIL import Image
+
+        return np.asarray(Image.open(p).convert("L"))
+
 
 def make_synthetic_scan(rng: np.random.Generator, n_points: int = 120000,
                         ) -> np.ndarray:

@@ -48,24 +48,35 @@ def _texture(u: np.ndarray, v: np.ndarray) -> np.ndarray:
     return t
 
 
+# Semantic label ids (matching the reference's road-class convention:
+# ground-plane labels are {6, 7, 8, 9}, RansacPlane.h:217 /
+# tracklet_depth_module.cpp:280).
+LABEL_ROAD = 7
+LABEL_WALL = 11  # "building" — not a ground class
+LABEL_SKY = 23
+
+
 def _cast(origins: np.ndarray, dirs: np.ndarray, z_end: float
-          ) -> tuple[np.ndarray, np.ndarray]:
+          ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Ray-cast the analytic scene.
 
     Args: origins [R, 3], dirs [R, 3] (world frame, not necessarily unit).
-    Returns (t_hit [R] — inf where no hit, shade [R] in [0,1]).
+    Returns (t_hit [R] — inf where no hit, shade [R] in [0,1],
+             label [R] uint8 semantic class — LABEL_SKY where no hit).
     """
     R = origins.shape[0]
     best_t = np.full(R, np.inf)
     shade = np.zeros(R)
+    label = np.full(R, LABEL_SKY, dtype=np.uint8)
 
-    def consider(t, cond, u, v, salt):
-        nonlocal best_t, shade
+    def consider(t, cond, u, v, salt, lab):
+        nonlocal best_t, shade, label
         ok = cond & (t > 0.25) & (t < best_t)
         if ok.any():
             best_t = np.where(ok, t, best_t)
             s = _texture(u + salt, v)
             shade = np.where(ok, s, shade)
+            label = np.where(ok, np.uint8(lab), label)
 
     o, d = origins, dirs
     front_z = z_end + FRONT_Z_OFFSET
@@ -74,14 +85,14 @@ def _cast(origins: np.ndarray, dirs: np.ndarray, z_end: float
         t = (GROUND_Y - o[:, 1]) / d[:, 1]
         p = o + t[:, None] * d
         consider(t, (d[:, 1] != 0) & (np.abs(p[:, 0]) <= WALL_X)
-                 & (p[:, 2] < front_z), p[:, 0], p[:, 2], 0.0)
+                 & (p[:, 2] < front_z), p[:, 0], p[:, 2], 0.0, LABEL_ROAD)
         # side walls: x = ±WALL_X
         for sx, salt in ((-WALL_X, 300.0), (WALL_X, 600.0)):
             t = (sx - o[:, 0]) / d[:, 0]
             p = o + t[:, None] * d
             consider(t, (d[:, 0] != 0) & (p[:, 1] >= WALL_Y_TOP)
                      & (p[:, 1] <= GROUND_Y) & (p[:, 2] < front_z),
-                     p[:, 2], p[:, 1], salt)
+                     p[:, 2], p[:, 1], salt, LABEL_WALL)
         # front wall: z = front_z; back wall: z = -20 (for loop
         # trajectories looking backward down the corridor)
         for fz, salt in ((front_z, 900.0), (-20.0, 1200.0)):
@@ -89,8 +100,8 @@ def _cast(origins: np.ndarray, dirs: np.ndarray, z_end: float
             p = o + t[:, None] * d
             consider(t, (d[:, 2] != 0) & (np.abs(p[:, 0]) <= WALL_X)
                      & (p[:, 1] >= WALL_Y_TOP) & (p[:, 1] <= GROUND_Y),
-                     p[:, 0], p[:, 1], salt)
-    return best_t, shade
+                     p[:, 0], p[:, 1], salt, LABEL_WALL)
+    return best_t, shade, label
 
 
 @dataclass
@@ -126,6 +137,7 @@ def generate_kitti_sequence(root: str, sequence: str = "99",
     seq_dir = Path(root) / "sequences" / sequence
     (seq_dir / "velodyne").mkdir(parents=True, exist_ok=True)
     (seq_dir / "image_0").mkdir(parents=True, exist_ok=True)
+    (seq_dir / "semantic_0").mkdir(parents=True, exist_ok=True)
     (Path(root) / "poses").mkdir(parents=True, exist_ok=True)
 
     W, H, f = spec.image_width, spec.image_height, spec.focal
@@ -174,14 +186,16 @@ def generate_kitti_sequence(root: str, sequence: str = "99",
     times = []
     gt_lines = []
     for k, (R_wc_k, c_k) in enumerate(poses):
-        # ---- image ---------------------------------------------------
+        # ---- image + ground-truth semantics ---------------------------
         d_world = d_cam @ R_wc_k.T
         o = np.broadcast_to(c_k, d_world.shape)
-        t, shade = _cast(o, d_world, z_end)
+        t, shade, label = _cast(o, d_world, z_end)
         img = np.where(np.isfinite(t), shade, 0.08)
         img = (np.clip(img, 0, 1) * 255).astype(np.uint8).reshape(H, W)
         Image.fromarray(img, mode="L").save(
             seq_dir / "image_0" / f"{k:06d}.png")
+        Image.fromarray(label.reshape(H, W), mode="L").save(
+            seq_dir / "semantic_0" / f"{k:06d}.png")
 
         # ---- lidar scan ---------------------------------------------
         # lidar pose: world←lidar = world←cam ∘ cam←lidar
@@ -189,7 +203,7 @@ def generate_kitti_sequence(root: str, sequence: str = "99",
         o_l = c_k + R_wc_k @ T_CL
         d_world_l = d_lid @ R_wl.T
         o2 = np.broadcast_to(o_l, d_world_l.shape)
-        t_l, _ = _cast(o2, d_world_l, z_end)
+        t_l, _, _ = _cast(o2, d_world_l, z_end)
         hit = np.isfinite(t_l) & (t_l < 120.0)
         pts_l = d_lid * t_l[:, None]  # lidar-frame (rays are unit)
         noise = rng.normal(size=pts_l.shape) * 0.006

@@ -26,7 +26,7 @@ sequence loop can be a `lax.scan`.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -36,7 +36,8 @@ from ..core.depth_estimator import (estimate_depths_from_frame,
                                     rasterize_cloud)
 from ..core.geometry import SE3, PinholeCamera
 from ..core.projection import POINT_NOT_DEFINED, FrameCloud
-from ..core.ransac import GroundPlane, fit_ground_plane_ransac
+from ..core.ransac import (GroundPlane, fit_ground_plane_ransac,
+                           fit_ground_plane_semantic)
 from ..core.result_types import NUM_RESULT_TYPES
 from .table import TrackTable, match_tracks, update_tracks
 
@@ -87,7 +88,14 @@ class TrackletDepthState(NamedTuple):
 
 class FrameInput(NamedTuple):
     """One synchronized frame (replaces the 3/4-way ROS message sync —
-    arrays are aligned by construction, SURVEY.md §2.7)."""
+    arrays are aligned by construction, SURVEY.md §2.7).
+
+    `semantic` carries the optional per-frame segmentation image: when
+    present the ground plane comes from the semantic road classes
+    (`fit_ground_plane_semantic`, the reference's callbackSemantic
+    4-way-sync path, tracklet_depth_interface.cpp:61-99 +
+    tracklet_depth_module.cpp:269-284); when None, from RANSAC
+    (callbackRansac, the 3-way path)."""
 
     cloud: jnp.ndarray  # [P, 3] lidar-frame points
     cloud_valid: jnp.ndarray  # [P]
@@ -97,13 +105,16 @@ class FrameInput(NamedTuple):
     uv_prev: jnp.ndarray  # [M, 2] previous-frame feature per track
     stamp: jnp.ndarray  # scalar time
     rng: jax.Array  # PRNG key for the RANSAC ground plane
+    semantic: Optional[jnp.ndarray] = None  # [H, W] label image or None
 
 
 @partial(jax.jit, static_argnames=("cfg", "camera"))
 def prime_state(cfg: DepthEstimatorConfig, camera: PinholeCamera,
                 lidar_to_cam: SE3, state: TrackletDepthState,
                 cloud: jnp.ndarray, cloud_valid: jnp.ndarray,
-                key: jax.Array) -> TrackletDepthState:
+                key: jax.Array,
+                semantic: Optional[jnp.ndarray] = None
+                ) -> TrackletDepthState:
     """Install a cloud (+ its ground plane, rasterized) as the 'last
     frame' BEFORE the first processed frame, so that the previous-frame
     features of the first tracks get real depths instead of the
@@ -111,16 +122,25 @@ def prime_state(cfg: DepthEstimatorConfig, camera: PinholeCamera,
     unobservable to the VO layer)."""
     from ..core.depth_estimator import no_ground_plane
 
-    gp = fit_ground_plane_ransac(
-        cloud, cloud_valid, key,
-        distance_threshold=cfg.ransac_plane_distance_treshold,
-        min_z=cfg.ransac_plane_min_z, max_z=cfg.ransac_plane_max_z,
-        num_hypotheses=cfg.ransac_num_hypotheses,
-        subsample=cfg.ransac_subsample_points,
-        axis_max_angle_deg=cfg.ransac_axis_max_angle_deg,
-        use_refinement=cfg.ransac_plane_use_refinement,
-        refinement_threshold=cfg.ransac_plane_refinement_treshold,
-    ) if cfg.do_use_ransac_plane else no_ground_plane(cfg.max_points)
+    if not cfg.do_use_ransac_plane:
+        gp = no_ground_plane(cfg.max_points)
+    elif semantic is not None:
+        gp = fit_ground_plane_semantic(
+            cloud, cloud_valid, semantic,
+            lidar_to_cam.rotation, lidar_to_cam.translation,
+            camera.intrinsics(),
+            ground_labels=cfg.semantic_ground_labels,
+            inlier_threshold=cfg.ransac_plane_refinement_treshold)
+    else:
+        gp = fit_ground_plane_ransac(
+            cloud, cloud_valid, key,
+            distance_threshold=cfg.ransac_plane_distance_treshold,
+            min_z=cfg.ransac_plane_min_z, max_z=cfg.ransac_plane_max_z,
+            num_hypotheses=cfg.ransac_num_hypotheses,
+            subsample=cfg.ransac_subsample_points,
+            axis_max_angle_deg=cfg.ransac_axis_max_angle_deg,
+            use_refinement=cfg.ransac_plane_use_refinement,
+            refinement_threshold=cfg.ransac_plane_refinement_treshold)
     frame = rasterize_cloud(cfg, camera, lidar_to_cam, cloud, cloud_valid, gp)
     return state._replace(frame_last=frame, gp_last=gp)
 
@@ -134,18 +154,30 @@ def process_frame(
     frame: FrameInput,
 ) -> tuple[TrackletDepthState, jnp.ndarray, jnp.ndarray]:
     """Process one frame; returns (state', depths_new [M], codes_new [M])."""
-    # Ground plane for the current cloud (the reference builds it inside
-    # setInputCloud when none is supplied, DepthEstimator.cpp:274-283).
-    gp = fit_ground_plane_ransac(
-        frame.cloud, frame.cloud_valid, frame.rng,
-        distance_threshold=cfg.ransac_plane_distance_treshold,
-        min_z=cfg.ransac_plane_min_z, max_z=cfg.ransac_plane_max_z,
-        num_hypotheses=cfg.ransac_num_hypotheses,
-        subsample=cfg.ransac_subsample_points,
-        axis_max_angle_deg=cfg.ransac_axis_max_angle_deg,
-        use_refinement=cfg.ransac_plane_use_refinement,
-        refinement_threshold=cfg.ransac_plane_refinement_treshold,
-    ) if cfg.do_use_ransac_plane else None
+    # Ground plane for the current cloud: from the semantic image when
+    # the frame carries one (the reference's live 4-way callback builds
+    # a SemanticPlane per frame, tracklet_depth_module.cpp:269-284),
+    # else from RANSAC (built inside setInputCloud when none is
+    # supplied, DepthEstimator.cpp:274-283).
+    if not cfg.do_use_ransac_plane:
+        gp = None
+    elif frame.semantic is not None:
+        gp = fit_ground_plane_semantic(
+            frame.cloud, frame.cloud_valid, frame.semantic,
+            lidar_to_cam.rotation, lidar_to_cam.translation,
+            camera.intrinsics(),
+            ground_labels=cfg.semantic_ground_labels,
+            inlier_threshold=cfg.ransac_plane_refinement_treshold)
+    else:
+        gp = fit_ground_plane_ransac(
+            frame.cloud, frame.cloud_valid, frame.rng,
+            distance_threshold=cfg.ransac_plane_distance_treshold,
+            min_z=cfg.ransac_plane_min_z, max_z=cfg.ransac_plane_max_z,
+            num_hypotheses=cfg.ransac_num_hypotheses,
+            subsample=cfg.ransac_subsample_points,
+            axis_max_angle_deg=cfg.ransac_axis_max_angle_deg,
+            use_refinement=cfg.ransac_plane_use_refinement,
+            refinement_threshold=cfg.ransac_plane_refinement_treshold)
 
     slot_exist, is_new = match_tracks(state.table, frame.ids, frame.ids_valid)
 

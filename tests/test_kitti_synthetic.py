@@ -116,3 +116,58 @@ def test_posegraph_loop_closure_end_to_end(tmp_path_factory):
     ate_pg = ate_rmse(opt[:, :3, 3], gt[:, :3, 3])
     assert np.isfinite(ate_pg)
     assert ate_pg < ate_vo, (ate_vo, ate_pg)
+
+
+def test_depth_eval_semantic_plane_mode(dataset, cfg):
+    """The semantic (4-way-sync) path end-to-end: ground plane from the
+    rendered semantic label images instead of RANSAC; results must be
+    comparable to the RANSAC mode on the clean synthetic scene."""
+    from mono_lidar_depth_tpu.eval import eval_depth_sequence
+
+    seq = KittiSequence(dataset, "99", image_width=W, image_height=H)
+    sem = seq.semantic(0)
+    assert sem is not None and sem.shape == (H, W)
+    from mono_lidar_depth_tpu.io.synthetic_dataset import (LABEL_ROAD,
+                                                           LABEL_WALL)
+    labs = set(np.unique(sem).tolist())
+    assert LABEL_ROAD in labs and LABEL_WALL in labs
+
+    # The reference's default refinement threshold (10.2 m,
+    # parameters.yaml:137) makes the semantic REFIT span the whole
+    # scene (walls included) — faithfully replicated; use a physically
+    # sensible threshold for the quality comparison.
+    cfg_t = cfg.replace(ransac_plane_refinement_treshold=0.3)
+    out_sem = eval_depth_sequence(seq, cfg_t, max_tracks=512, max_length=8,
+                                  verbose=False, plane_mode="semantic")
+    out_ran = eval_depth_sequence(seq, cfg_t, max_tracks=512, max_length=8,
+                                  verbose=False, plane_mode="ransac")
+    assert out_sem["frames"] == 6
+    assert out_sem["success_rate_lidar_covered"] > 0.35, out_sem
+    # the two plane sources agree on this scene to within a loose band
+    assert abs(out_sem["success_rate_lidar_covered"]
+               - out_ran["success_rate_lidar_covered"]) < 0.15, (
+        out_sem, out_ran)
+
+
+def test_semantic_plane_recovers_ground(dataset, cfg):
+    """fit_ground_plane_semantic on a rendered frame recovers the true
+    ground plane (lidar frame: z up at sensor height)."""
+    import jax.numpy as jnp
+    from mono_lidar_depth_tpu import fit_ground_plane_semantic
+    from mono_lidar_depth_tpu.io.kitti import pad_cloud
+
+    seq = KittiSequence(dataset, "99", image_width=W, image_height=H)
+    xyzi, n = next(iter(seq.scans(cfg.max_points)))
+    cloud, valid = pad_cloud(xyzi, n, cfg.max_points)
+    sem = jnp.asarray(seq.semantic(0).astype(np.int32))
+    T = seq.calib.lidar_to_cam
+    gp = fit_ground_plane_semantic(
+        jnp.asarray(cloud), jnp.asarray(valid), sem,
+        T.rotation, T.translation, seq.calib.camera.intrinsics(),
+        inlier_threshold=0.3)
+    assert bool(gp.ok)
+    coeffs = np.asarray(gp.coeffs)
+    # ground is z = -(1.5 - lidar height offset) in the lidar frame;
+    # normal must be ~(0, 0, 1)
+    assert abs(coeffs[2]) > 0.99, coeffs
+    assert int(np.asarray(gp.inlier_mask).sum()) > 100
