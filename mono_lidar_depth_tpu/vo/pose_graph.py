@@ -67,11 +67,21 @@ def _edge_lin(Ri, ti, Rj, tj, ZR, Zt):
     return r0, Ji, Jj
 
 
-@partial(jax.jit, static_argnames=("gn_iters", "cg_iters", "huber"))
+@partial(jax.jit, static_argnames=("gn_iters", "cg_iters", "huber",
+                                   "axis_name"))
 def optimize_pose_graph(graph: PoseGraph, gn_iters: int = 8,
                         cg_iters: int = 60, huber: float = 0.5,
-                        damping: float = 1e-6) -> PoseGraph:
-    """Run Gauss-Newton with CG inner solves; returns the updated graph."""
+                        damping: float = 1e-6,
+                        axis_name: str | None = None) -> PoseGraph:
+    """Run Gauss-Newton with CG inner solves; returns the updated graph.
+
+    With `axis_name` the EDGE arrays are assumed sharded over that mesh
+    axis (poses replicated): each device linearizes its edge shard and
+    the per-pose scatter-adds (gradient b and the CG matvec result) are
+    psum'd — the distributed form of the north star's "map blocks over
+    hosts" (BASELINE.json config 4).  The CG state stays replicated, so
+    every device computes identical alpha/beta and the iterates never
+    diverge.  See dist.sharded.distributed_pose_graph."""
     N = graph.R.shape[0]
 
     def gn_step(_, g: PoseGraph) -> PoseGraph:
@@ -95,6 +105,8 @@ def optimize_pose_graph(graph: PoseGraph, gn_iters: int = 8,
         bj = jnp.einsum("e,eri,er->ei", w, Jj_m, r0)
         b = (jnp.zeros((N, 6), r0.dtype)
              .at[g.edge_i].add(bi).at[g.edge_j].add(bj))
+        if axis_name is not None:
+            b = jax.lax.psum(b, axis_name)
 
         def matvec(x):  # H x with H = J^T w J + damping I
             xi = x[g.edge_i]
@@ -106,6 +118,8 @@ def optimize_pose_graph(graph: PoseGraph, gn_iters: int = 8,
             yj = jnp.einsum("eri,er->ei", Jj_m, wAx)
             y = (jnp.zeros((N, 6), x.dtype)
                  .at[g.edge_i].add(yi).at[g.edge_j].add(yj))
+            if axis_name is not None:
+                y = jax.lax.psum(y, axis_name)
             return y + damping * x
 
         # CG for H dx = -b
