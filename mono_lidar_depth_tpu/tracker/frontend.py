@@ -21,6 +21,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from ..precision import f32_matmuls
 
 from .harris import detect_features
 from .klt import build_pyramid, track_features
@@ -43,6 +44,7 @@ class TrackerOutput(NamedTuple):
     uv_prev: jnp.ndarray  # [N, 2] position in the previous frame
 
 
+@f32_matmuls
 def init_tracker(img: jnp.ndarray, max_features: int, levels: int = 3,
                  cell_size: int = 16) -> TrackerState:
     pyr = tuple(build_pyramid(img, levels))
@@ -56,6 +58,7 @@ def init_tracker(img: jnp.ndarray, max_features: int, levels: int = 3,
 
 
 @partial(jax.jit, static_argnames=("cell_size", "patch", "iters"))
+@f32_matmuls
 def track_frame(state: TrackerState, img: jnp.ndarray,
                 cell_size: int = 16, patch: int = 9, iters: int = 8
                 ) -> tuple[TrackerState, TrackerOutput]:

@@ -42,6 +42,7 @@ import jax
 import jax.numpy as jnp
 
 from .lie import se3_exp
+from ..precision import f32_matmuls
 
 
 class BAProblem(NamedTuple):
@@ -144,6 +145,7 @@ def _huber_w(err, delta):
     return jnp.where(err <= delta, 1.0, delta / jnp.maximum(err, 1e-9))
 
 
+@f32_matmuls
 def ba_cost(camera, pb: BAProblem, huber_px: float = 2.0,
             depth_weight: float = 1.0, huber_depth: float = 0.5,
             axis_name: str | None = None) -> jnp.ndarray:
@@ -161,6 +163,7 @@ def ba_cost(camera, pb: BAProblem, huber_px: float = 2.0,
     return total
 
 
+@f32_matmuls
 def ba_iteration(camera, pb: BAProblem, huber_px: float, depth_weight: float,
                  huber_depth: float, damping: float,
                  axis_name: str | None = None) -> BAProblem:
@@ -265,6 +268,7 @@ def ba_iteration(camera, pb: BAProblem, huber_px: float, depth_weight: float,
 @partial(jax.jit, static_argnames=("camera", "iters", "huber_px",
                                    "depth_weight", "huber_depth", "damping",
                                    "compute_cost"))
+@f32_matmuls
 def run_ba(camera, problem: BAProblem, iters: int = 8,
            huber_px: float = 2.0, depth_weight: float = 1.0,
            huber_depth: float = 0.5, damping: float = 1e-4,

@@ -31,6 +31,7 @@ from ..core.geometry import SE3, PinholeCamera
 from ..tracks.pipeline import FrameInput, TrackletDepthState, process_frame
 from .ba import BAProblem, run_ba
 from .pose import estimate_pose_gn
+from ..precision import f32_matmuls
 
 
 class OdometryConfig(NamedTuple):
@@ -39,6 +40,12 @@ class OdometryConfig(NamedTuple):
     ba_every: int = 1  # run BA every n frames
     depth_weight: float = 2.0
     min_motion_tracks: int = 12
+    # Carry BA-optimized landmark positions across frames (slots
+    # invalidated when their track slot is reused).  Off: landmarks are
+    # re-unprojected from the newest in-window depth every frame
+    # (cheap, discards the BA's triangulation refinement — the eval
+    # record quantifies the difference, PARITY_r2.md).
+    persist_landmarks: bool = False
 
 
 class OdometryState(NamedTuple):
@@ -53,6 +60,11 @@ class OdometryState(NamedTuple):
     # last relative motion (cur←prev), the constant-velocity warm start
     rel_R: jnp.ndarray  # [3, 3]
     rel_t: jnp.ndarray  # [3]
+    # persisted BA landmarks (used when ocfg.persist_landmarks):
+    # world positions per track slot + the owning track id (slot reuse
+    # by the tracker invalidates the persisted estimate)
+    lm_world: jnp.ndarray  # [L, 3]
+    lm_id: jnp.ndarray  # [L] int32 track id, -1 = empty
 
     @classmethod
     def create(cls, cfg: DepthEstimatorConfig, ocfg: OdometryConfig,
@@ -65,10 +77,13 @@ class OdometryState(NamedTuple):
             win_valid=jnp.zeros((W,), bool).at[0].set(True),
             frame_idx=jnp.int32(0),
             rel_R=jnp.eye(3, dtype=jnp.float32),
-            rel_t=jnp.zeros(3, jnp.float32))
+            rel_t=jnp.zeros(3, jnp.float32),
+            lm_world=jnp.zeros((max_tracks, 3), jnp.float32),
+            lm_id=jnp.full((max_tracks,), -1, jnp.int32))
 
 
 @partial(jax.jit, static_argnames=("cfg", "ocfg", "camera"))
+@f32_matmuls
 def odometry_step(
     cfg: DepthEstimatorConfig,
     ocfg: OdometryConfig,
@@ -147,6 +162,13 @@ def odometry_step(
     t_k = win_t[first_k]
     lm_world = jnp.einsum("lji,lj->li", R_k, lm_cam - t_k)  # R^T (p - t)
 
+    if ocfg.persist_landmarks:
+        # Reuse the BA-refined position where the slot still belongs to
+        # the same track; slots reused by the tracker (different id)
+        # fall back to the fresh depth unprojection.
+        persisted = (state.lm_id == table.track_id) & (state.lm_id >= 0)
+        lm_world = jnp.where(persisted[:, None], state.lm_world, lm_world)
+
     lm_valid = (table.active() & any_d
                 & (jnp.sum(obs_mask, axis=0) >= 2))
 
@@ -166,16 +188,24 @@ def odometry_step(
     def _solve(pb):
         res = run_ba(camera, pb, iters=ocfg.ba_iters,
                      depth_weight=ocfg.depth_weight, compute_cost=False)
-        return res.problem.R, res.problem.t
+        return res.problem.R, res.problem.t, res.problem.landmarks
 
-    ba_R, ba_t = jax.lax.cond(
-        run_it, _solve, lambda pb: (pb.R, pb.t), problem)
+    ba_R, ba_t, ba_lm = jax.lax.cond(
+        run_it, _solve, lambda pb: (pb.R, pb.t, pb.landmarks), problem)
+
+    if ocfg.persist_landmarks:
+        lm_world_out = jnp.where(lm_valid[:, None], ba_lm, 0.0)
+        lm_id_out = jnp.where(lm_valid, table.track_id, -1)
+    else:
+        lm_world_out = state.lm_world
+        lm_id_out = state.lm_id
 
     new_state = OdometryState(
         tracklets=tl_state,
         win_R=ba_R, win_t=ba_t, win_valid=win_valid,
         frame_idx=state.frame_idx + 1,
-        rel_R=R_rel, rel_t=t_rel)
+        rel_R=R_rel, rel_t=t_rel,
+        lm_world=lm_world_out, lm_id=lm_id_out)
     diag = jnp.stack([n_usable.astype(jnp.float32),
                       est.num_inliers.astype(jnp.float32),
                       est.mean_error])

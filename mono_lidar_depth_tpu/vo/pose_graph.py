@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from .lie import se3_exp, se3_log
+from ..precision import f32_matmuls
 
 
 class PoseGraph(NamedTuple):
@@ -69,6 +70,7 @@ def _edge_lin(Ri, ti, Rj, tj, ZR, Zt):
 
 @partial(jax.jit, static_argnames=("gn_iters", "cg_iters", "huber",
                                    "axis_name"))
+@f32_matmuls
 def optimize_pose_graph(graph: PoseGraph, gn_iters: int = 8,
                         cg_iters: int = 60, huber: float = 0.5,
                         damping: float = 1e-6,
@@ -148,6 +150,7 @@ def optimize_pose_graph(graph: PoseGraph, gn_iters: int = 8,
     return jax.lax.fori_loop(0, gn_iters, gn_step, graph)
 
 
+@f32_matmuls
 def graph_cost(graph: PoseGraph) -> jnp.ndarray:
     Ri = graph.R[graph.edge_i]
     ti = graph.t[graph.edge_i]
