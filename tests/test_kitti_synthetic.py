@@ -55,8 +55,9 @@ def test_depth_eval_end_to_end(dataset, cfg):
     assert out["frames"] == 6  # first frame initializes the tracker
     assert out["total_points"] > 300
     # on clean planar synthetic surfaces the lidar-covered success rate
-    # must be substantial
-    assert out["success_rate_lidar_covered"] > 0.35, out
+    # must be substantial (measured 0.49 on this 7-frame scene, 0.52 on
+    # the 220-frame loop record, PARITY_r2.md — bound with ~10% margin)
+    assert out["success_rate_lidar_covered"] > 0.45, out
 
 
 def test_vo_eval_end_to_end(dataset, cfg):
