@@ -40,6 +40,8 @@ class OdometryConfig(NamedTuple):
     ba_every: int = 1  # run BA every n frames
     depth_weight: float = 2.0
     min_motion_tracks: int = 12
+    gn_iters: int = 10  # frame-to-frame pose GN iterations (stage 2
+    #                     adds max(gn_iters // 2, 3) refit iterations)
     # Carry BA-optimized landmark positions across frames (slots
     # invalidated when their track slot is reused).  Off: landmarks are
     # re-unprojected from the newest in-window depth every frame
@@ -118,7 +120,8 @@ def odometry_step(
 
     # constant-velocity warm start from the previous relative motion
     est = estimate_pose_gn(camera, lm_prev, uv_cur, usable,
-                           R_init=state.rel_R, t_init=state.rel_t)
+                           R_init=state.rel_R, t_init=state.rel_t,
+                           iters=ocfg.gn_iters)
     enough = n_usable >= ocfg.min_motion_tracks
     # motion cur←prev; identity fallback when starved
     # starved frames coast on the constant-velocity model instead of
