@@ -80,6 +80,27 @@ def gather_neighbors(
         z_enc == 0 ⇔ empty cell).
     """
     H, W = frame.grid.shape
+    if with_indices:
+        stack = jnp.concatenate(
+            [frame.planes, frame.grid.astype(jnp.float32)[None]], axis=0)
+    else:
+        stack = frame.planes
+    return _gather_from_stack(stack, camera, features_uv, half_size_x,
+                              half_size_y, window, with_indices, H, W)
+
+
+def _gather_from_stack(
+    stack: jnp.ndarray,
+    camera: PinholeCamera,
+    features_uv: jnp.ndarray,
+    half_size_x: float,
+    half_size_y: float,
+    window: tuple[int, int],
+    with_indices: bool,
+    H: int,
+    W: int,
+) -> NeighborSet:
+    """Window slice + decode against a prebuilt plane stack."""
     Ky, Kx = window
     if Ky > H or Kx > W:
         raise ValueError(f"window {window} exceeds grid {H}x{W}")
@@ -100,14 +121,6 @@ def gather_neighbors(
     # and always covers [y0..y1] x [x0..x1] (window ≥ span by config).
     sy = jnp.minimum(y0, H - Ky)
     sx = jnp.minimum(x0, W - Kx)
-
-    # Raw point indices ride the f32 slice as a channel (exact for
-    # indices < 2^24; max_points is capped at 2^17 by the grid packing).
-    if with_indices:
-        stack = jnp.concatenate(
-            [frame.planes, frame.grid.astype(jnp.float32)[None]], axis=0)
-    else:
-        stack = frame.planes
 
     win = slice_windows(stack, sy, sx, Ky, Kx)  # [N, C, Ky, Kx]
 

@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from .geometry import smallest_eigenvector_sym3x3
+from ..precision import f32_matmuls
 
 
 class GroundPlane(NamedTuple):
@@ -54,6 +55,7 @@ def _ls_plane(points: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([n, -jnp.sum(n * c)[None]])
 
 
+@f32_matmuls
 def fit_ground_plane_ransac(
     points_lidar: jnp.ndarray,
     valid: jnp.ndarray,
@@ -144,6 +146,7 @@ def fit_ground_plane_ransac(
     return GroundPlane(coeffs=coeffs, inlier_mask=inlier_mask & valid, ok=ok)
 
 
+@f32_matmuls
 def fit_ground_plane_semantic(
     points_lidar: jnp.ndarray,
     valid: jnp.ndarray,

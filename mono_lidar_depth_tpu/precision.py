@@ -26,3 +26,27 @@ def f32_matmuls(fn):
             return fn(*args, **kwargs)
 
     return wrapped
+
+
+# Per-op pin for the RESIDUAL-critical tiny matmuls (projections,
+# rotation compositions): these must be exact f32, but they are
+# [3,3]-by-[3,N]-class ops whose cost is negligible either way.
+# Hessian/gradient CONTRACTIONS stay at default precision — Gauss-
+# Newton tolerates approximate curvature as long as residuals are
+# exact (inexact-Newton), and those contractions are the MXU cost.
+HI = jax.lax.Precision.HIGHEST
+
+
+def hi3_matmuls(fn):
+    """Trace `fn` under jax.default_matmul_precision('high') — on TPU
+    the 3-pass bf16 scheme, ~1e-6 relative error: enough for curvature
+    (Hessian/Schur) math at half the MXU passes of full f32.  Per-op
+    `precision=HI` pins inside still override it for the residual-
+    critical products."""
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("high"):
+            return fn(*args, **kwargs)
+
+    return wrapped

@@ -42,7 +42,7 @@ import jax
 import jax.numpy as jnp
 
 from .lie import se3_exp
-from ..precision import f32_matmuls
+from ..precision import HI, hi3_matmuls
 
 
 class BAProblem(NamedTuple):
@@ -70,7 +70,8 @@ def _residuals_lanes(camera, pb: BAProblem, min_depth=0.25):
              r_d [K,L], active_d [K,L]).
     """
     # [K, 3, L] = R @ X^T + t  — one [3,3]x[3,L] matmul per camera.
-    p = jnp.einsum("kij,jl->kil", pb.R, pb.landmarks.T) + pb.t[:, :, None]
+    p = jnp.einsum("kij,jl->kil", pb.R, pb.landmarks.T,
+                  precision=HI) + pb.t[:, :, None]
     z = p[:, 2]
     behind = z <= min_depth
     inv_z = 1.0 / jnp.maximum(z, min_depth)
@@ -114,7 +115,8 @@ def _jacobians_lanes(camera, pb: BAProblem, p, inv_z):
         jnp.stack([fiz, zero, -fiz * xiz], axis=1),
         jnp.stack([zero, fiz, -fiz * yiz], axis=1),
     ], axis=1)  # [K, 2, 3, L]
-    Jlm = jnp.einsum("kril,kij->krjl", Jp, pb.R)  # [K, 2, 3, L]
+    Jlm = jnp.einsum("kril,kij->krjl", Jp, pb.R,
+                     precision=HI)  # [K, 2, 3, L]
 
     one = jnp.ones_like(x)
     Jpose_d = jnp.stack([zero, zero, one, y, -x, zero], axis=1)  # [K, 6, L]
@@ -145,7 +147,7 @@ def _huber_w(err, delta):
     return jnp.where(err <= delta, 1.0, delta / jnp.maximum(err, 1e-9))
 
 
-@f32_matmuls
+@hi3_matmuls
 def ba_cost(camera, pb: BAProblem, huber_px: float = 2.0,
             depth_weight: float = 1.0, huber_depth: float = 0.5,
             axis_name: str | None = None) -> jnp.ndarray:
@@ -163,7 +165,7 @@ def ba_cost(camera, pb: BAProblem, huber_px: float = 2.0,
     return total
 
 
-@f32_matmuls
+@hi3_matmuls
 def ba_iteration(camera, pb: BAProblem, huber_px: float, depth_weight: float,
                  huber_depth: float, damping: float,
                  axis_name: str | None = None) -> BAProblem:
@@ -202,10 +204,14 @@ def ba_iteration(camera, pb: BAProblem, huber_px: float, depth_weight: float,
            + jnp.einsum("kil,kjl->ijl", Jldw, Jlm_d))  # [3, 3, L]
     Hpl = (jnp.einsum("kril,krjl->kijl", Jpw, Jlm)
            + jnp.einsum("kil,kjl->kijl", Jpdw, Jlm_d))  # [K, 6, 3, L]
-    bp = (jnp.einsum("kril,krl->ki", Jpw, r)
-          + jnp.einsum("kil,kl->ki", Jpdw, r_d))
-    bl = (jnp.einsum("kril,krl->il", Jlw, r)
-          + jnp.einsum("kil,kl->il", Jldw, r_d))  # [3, L]
+    # gradients pinned to full f32: the outer GN fixed point is
+    # (bp, bl) == 0, so gradient precision sets solution accuracy while
+    # Hessian-block precision only shapes the path (matvec contractions
+    # are bandwidth-bound — pinning them costs nothing)
+    bp = (jnp.einsum("kril,krl->ki", Jpw, r, precision=HI)
+          + jnp.einsum("kil,kl->ki", Jpdw, r_d, precision=HI))
+    bl = (jnp.einsum("kril,krl->il", Jlw, r, precision=HI)
+          + jnp.einsum("kil,kl->il", Jldw, r_d, precision=HI))  # [3, L]
 
     # Relative (Marquardt) damping: the absolute scale of Hll blocks is
     # ~f^2/z^2 and varies by orders of magnitude; damping proportional
@@ -260,15 +266,14 @@ def ba_iteration(camera, pb: BAProblem, huber_px: float, depth_weight: float,
     dl = jnp.where(lm_free[None, :], dl, 0.0)
 
     dR, dt = se3_exp(dxi)
-    R_new = dR @ pb.R
-    t_new = jnp.einsum("kij,kj->ki", dR, pb.t) + dt
+    R_new = jnp.matmul(dR, pb.R, precision=HI)
+    t_new = jnp.einsum("kij,kj->ki", dR, pb.t, precision=HI) + dt
     return pb._replace(R=R_new, t=t_new, landmarks=pb.landmarks + dl.T)
 
 
 @partial(jax.jit, static_argnames=("camera", "iters", "huber_px",
                                    "depth_weight", "huber_depth", "damping",
                                    "compute_cost"))
-@f32_matmuls
 def run_ba(camera, problem: BAProblem, iters: int = 8,
            huber_px: float = 2.0, depth_weight: float = 1.0,
            huber_depth: float = 0.5, damping: float = 1e-4,

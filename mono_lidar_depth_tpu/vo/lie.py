@@ -17,7 +17,10 @@ first), exp([rho, phi]) = (R = exp([phi]x), t = V(phi) rho).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+_HI = jax.lax.Precision.HIGHEST
 
 _SMALL = 1e-10
 
@@ -46,7 +49,7 @@ def so3_exp(phi: jnp.ndarray) -> jnp.ndarray:
     """Rodrigues: [..., 3] axis-angle → [..., 3, 3] rotation."""
     th2, th2_safe, theta, small = _theta_terms(phi)
     K = hat(phi)
-    K2 = K @ K
+    K2 = jnp.matmul(K, K, precision=_HI)
     a = jnp.where(small, 1.0 - th2 / 6.0, jnp.sin(theta) / theta)
     b = jnp.where(small, 0.5 - th2 / 24.0, (1.0 - jnp.cos(theta)) / th2_safe)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=phi.dtype), K.shape)
@@ -107,7 +110,7 @@ def _V(phi: jnp.ndarray) -> jnp.ndarray:
     """Left Jacobian of SO(3)."""
     th2, th2_safe, theta, small = _theta_terms(phi)
     K = hat(phi)
-    K2 = K @ K
+    K2 = jnp.matmul(K, K, precision=_HI)
     b = jnp.where(small, 0.5 - th2 / 24.0, (1.0 - jnp.cos(theta)) / th2_safe)
     c = jnp.where(small, 1.0 / 6.0 - th2 / 120.0,
                   (theta - jnp.sin(theta)) / (th2_safe * theta))
@@ -118,7 +121,7 @@ def _V(phi: jnp.ndarray) -> jnp.ndarray:
 def _V_inv(phi: jnp.ndarray) -> jnp.ndarray:
     th2, th2_safe, theta, small = _theta_terms(phi)
     K = hat(phi)
-    K2 = K @ K
+    K2 = jnp.matmul(K, K, precision=_HI)
     half = theta * 0.5
     sin_half = jnp.sin(half)
     sin_half_safe = jnp.where(small, 1.0, sin_half)
@@ -132,12 +135,12 @@ def se3_exp(xi: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """[..., 6] (rho, phi) → (R [..., 3, 3], t [..., 3])."""
     rho, phi = xi[..., :3], xi[..., 3:]
     R = so3_exp(phi)
-    t = (_V(phi) @ rho[..., None])[..., 0]
+    t = jnp.matmul(_V(phi), rho[..., None], precision=_HI)[..., 0]
     return R, t
 
 
 def se3_log(R: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     """(R, t) → [..., 6] (rho, phi)."""
     phi = so3_log(R)
-    rho = (_V_inv(phi) @ t[..., None])[..., 0]
+    rho = jnp.matmul(_V_inv(phi), t[..., None], precision=_HI)[..., 0]
     return jnp.concatenate([rho, phi], axis=-1)

@@ -31,7 +31,7 @@ from ..core.geometry import SE3, PinholeCamera
 from ..tracks.pipeline import FrameInput, TrackletDepthState, process_frame
 from .ba import BAProblem, run_ba
 from .pose import estimate_pose_gn
-from ..precision import f32_matmuls
+from ..precision import HI
 
 
 class OdometryConfig(NamedTuple):
@@ -85,7 +85,6 @@ class OdometryState(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("cfg", "ocfg", "camera"))
-@f32_matmuls
 def odometry_step(
     cfg: DepthEstimatorConfig,
     ocfg: OdometryConfig,
@@ -100,8 +99,19 @@ def odometry_step(
     (R_cw, t_cw) is the camera-from-world pose of this frame and
     diagnostics = [num_motion_tracks, num_inliers, mean reproj error].
     """
+    # Depth association runs at DEFAULT matmul precision (its decisions
+    # are margin-guarded and its MXU matmuls are the throughput path);
+    # only the geometry below is precision-pinned (see precision.py).
     tl_state, depths, codes = process_frame(
         cfg, camera, lidar_to_cam, state.tracklets, frame)
+    return _odometry_tail(cfg, ocfg, camera, state, tl_state,
+                          depths, codes)
+
+
+def _odometry_tail(cfg, ocfg, camera, state, tl_state, depths, codes):
+    """Pose GN + window BA + state update.  Residual-critical matmuls
+    are precision-pinned per op (precision.HI); the heavy contractions
+    inside GN/BA stay at default precision (see precision.py)."""
     table = tl_state.table
 
     # ---- frame-to-frame motion -------------------------------------
@@ -131,8 +141,8 @@ def odometry_step(
 
     # new camera-from-world pose: T_cur←w = T_cur←prev ∘ T_prev←w
     R_prev, t_prev = state.win_R[0], state.win_t[0]
-    R_cw = R_rel @ R_prev
-    t_cw = (R_rel @ t_prev[..., None])[..., 0] + t_rel
+    R_cw = jnp.matmul(R_rel, R_prev, precision=HI)
+    t_cw = jnp.matmul(R_rel, t_prev[..., None], precision=HI)[..., 0] + t_rel
 
     # shift the window ring
     W = state.win_R.shape[0]
@@ -163,7 +173,8 @@ def odometry_step(
     lm_cam = rays_l / jnp.maximum(rays_l[:, 2:3], 1e-6) * d_init[:, None]
     R_k = win_R[first_k]  # [L, 3, 3]
     t_k = win_t[first_k]
-    lm_world = jnp.einsum("lji,lj->li", R_k, lm_cam - t_k)  # R^T (p - t)
+    lm_world = jnp.einsum("lji,lj->li", R_k, lm_cam - t_k,
+                          precision=HI)  # R^T (p - t)
 
     if ocfg.persist_landmarks:
         # Reuse the BA-refined position where the slot still belongs to

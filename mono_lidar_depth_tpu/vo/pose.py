@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from ..core.geometry import PinholeCamera
 from .lie import se3_exp
 from .linalg6 import solve6_spd
-from ..precision import f32_matmuls
+from ..precision import HI, hi3_matmuls
 
 
 class PoseEstimate(NamedTuple):
@@ -35,7 +35,6 @@ class PoseEstimate(NamedTuple):
 
 @partial(jax.jit, static_argnames=("camera", "iters", "huber_px",
                                    "outlier_px", "min_depth"))
-@f32_matmuls
 def estimate_pose_gn(
     camera: PinholeCamera,
     landmarks_ref: jnp.ndarray,
@@ -69,7 +68,7 @@ def estimate_pose_gn(
     X_t = landmarks_ref.T  # [3, N]
 
     def residuals_and_jac(R, t):
-        p = R @ X_t + t[:, None]  # [3, N]
+        p = jnp.matmul(R, X_t, precision=HI) + t[:, None]  # [3, N]
         z = jnp.maximum(p[2], min_depth)
         inv_z = 1.0 / z
         u = f * p[0] * inv_z + camera.cx
@@ -99,13 +98,16 @@ def estimate_pose_gn(
                             huber_px / jnp.maximum(err, 1e-9))
             w = jnp.where(sel_mask & ~behind, w_h, 0.0)[None, None, :]
             H = jnp.einsum("rin,rjn->ij", J * w, J)
-            g = jnp.einsum("rin,rn->i", J * w, r)
+            # gradient pinned: the GN fixed point is g == 0
+            g = jnp.einsum("rin,rn->i", J * w, r, precision=HI)
             H = H + 1e-6 * jnp.eye(6, dtype=H.dtype)
             # closed-form block solve: ~17 jnp.linalg.solve custom
             # calls per frame cost ~80 us of launch latency EACH
             dx = -solve6_spd(H, g)
             dR, dt = se3_exp(dx)
-            return dR @ R, (dR @ t[..., None])[..., 0] + dt
+            return (jnp.matmul(dR, R, precision=HI),
+                    jnp.matmul(dR, t[..., None],
+                               precision=HI)[..., 0] + dt)
         return step
 
     R, t = jax.lax.fori_loop(0, iters, make_step(valid), (R_init, t_init))
