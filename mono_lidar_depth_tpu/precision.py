@@ -36,6 +36,11 @@ def f32_matmuls(fn):
 # exact (inexact-Newton), and those contractions are the MXU cost.
 HI = jax.lax.Precision.HIGHEST
 
+# 3-pass tier for the MXU-shaped curvature contractions: ~1e-6 relative
+# accuracy (enough for the Schur cancellation chain, measured) at half
+# the passes of HIGHEST.
+H3 = jax.lax.Precision.HIGH
+
 
 def hi3_matmuls(fn):
     """Trace `fn` under jax.default_matmul_precision('high') — on TPU

@@ -42,7 +42,7 @@ import jax
 import jax.numpy as jnp
 
 from .lie import se3_exp
-from ..precision import HI, hi3_matmuls
+from ..precision import HI
 
 
 class BAProblem(NamedTuple):
@@ -115,8 +115,8 @@ def _jacobians_lanes(camera, pb: BAProblem, p, inv_z):
         jnp.stack([fiz, zero, -fiz * xiz], axis=1),
         jnp.stack([zero, fiz, -fiz * yiz], axis=1),
     ], axis=1)  # [K, 2, 3, L]
-    Jlm = jnp.einsum("kril,kij->krjl", Jp, pb.R,
-                     precision=HI)  # [K, 2, 3, L]
+    Jlm = jnp.sum(Jp[:, :, :, None, :]
+                  * pb.R[:, None, :, :, None], axis=2)  # [K, 2, 3, L]
 
     one = jnp.ones_like(x)
     Jpose_d = jnp.stack([zero, zero, one, y, -x, zero], axis=1)  # [K, 6, L]
@@ -147,7 +147,6 @@ def _huber_w(err, delta):
     return jnp.where(err <= delta, 1.0, delta / jnp.maximum(err, 1e-9))
 
 
-@hi3_matmuls
 def ba_cost(camera, pb: BAProblem, huber_px: float = 2.0,
             depth_weight: float = 1.0, huber_depth: float = 0.5,
             axis_name: str | None = None) -> jnp.ndarray:
@@ -165,7 +164,6 @@ def ba_cost(camera, pb: BAProblem, huber_px: float = 2.0,
     return total
 
 
-@hi3_matmuls
 def ba_iteration(camera, pb: BAProblem, huber_px: float, depth_weight: float,
                  huber_depth: float, damping: float,
                  axis_name: str | None = None) -> BAProblem:
@@ -196,22 +194,29 @@ def ba_iteration(camera, pb: BAProblem, huber_px: float, depth_weight: float,
     Jpdw = Jpose_d * w_d[:, None, :]
     Jldw = Jlm_d * w_d[:, None, :]
 
-    # Hessian blocks (reprojection + depth prior).  Contractions over
-    # (r, l) / l with L minor: MXU matmuls, no tile padding anywhere.
-    Hpp = (jnp.einsum("kril,krjl->kij", Jpw, Jpose)
-           + jnp.einsum("kil,kjl->kij", Jpdw, Jpose_d))
-    Hll = (jnp.einsum("kril,krjl->ijl", Jlw, Jlm)
-           + jnp.einsum("kil,kjl->ijl", Jldw, Jlm_d))  # [3, 3, L]
-    Hpl = (jnp.einsum("kril,krjl->kijl", Jpw, Jlm)
-           + jnp.einsum("kil,kjl->kijl", Jpdw, Jlm_d))  # [K, 6, 3, L]
-    # gradients pinned to full f32: the outer GN fixed point is
-    # (bp, bl) == 0, so gradient precision sets solution accuracy while
-    # Hessian-block precision only shapes the path (matvec contractions
-    # are bandwidth-bound — pinning them costs nothing)
-    bp = (jnp.einsum("kril,krl->ki", Jpw, r, precision=HI)
-          + jnp.einsum("kil,kl->ki", Jpdw, r_d, precision=HI))
-    bl = (jnp.einsum("kril,krl->il", Jlw, r, precision=HI)
-          + jnp.einsum("kil,kl->il", Jldw, r_d, precision=HI))  # [3, L]
+    # Hessian blocks (reprojection + depth prior) as VPU broadcast-
+    # multiply-reduce: the contracted dims are tiny (r = 2, m/j = 3),
+    # and the Hll -> Hll_inv -> W -> S chain feeds the Schur complement
+    # S = Hpp - W Hpl^T — a small difference of large terms, so it needs
+    # FULL f32 (bf16 matmul inputs give order-unity cancellation error
+    # in S: measured ATE 9.5 m vs 1.8 m).  Elementwise reductions are
+    # exact f32 by construction and avoid the MXU multi-pass cost that
+    # precision-pinned einsums paid here (measured ~1.2 ms/frame).
+    Hpp = (jnp.sum(Jpw[:, :, :, None, :] * Jpose[:, :, None, :, :],
+                   axis=(1, 4))
+           + jnp.sum(Jpdw[:, :, None, :] * Jpose_d[:, None, :, :], axis=3))
+    Hll = (jnp.sum(Jlw[:, :, :, None, :] * Jlm[:, :, None, :, :],
+                   axis=(0, 1))
+           + jnp.sum(Jldw[:, :, None, :] * Jlm_d[:, None, :, :],
+                     axis=0))  # [3, 3, L]
+    Hpl = (jnp.sum(Jpw[:, :, :, None, :] * Jlm[:, :, None, :, :], axis=1)
+           + Jpdw[:, :, None, :] * Jlm_d[:, None, :, :])  # [K, 6, 3, L]
+    # gradients: the outer GN fixed point is (bp, bl) == 0, so gradient
+    # precision sets solution accuracy — same exact-f32 VPU reductions
+    bp = (jnp.sum(Jpw * r[:, :, None, :], axis=(1, 3))
+          + jnp.sum(Jpdw * r_d[:, None, :], axis=2))
+    bl = (jnp.sum(Jlw * r[:, :, None, :], axis=(0, 1))
+          + jnp.sum(Jldw * r_d[:, None, :], axis=0))  # [3, L]
 
     # Relative (Marquardt) damping: the absolute scale of Hll blocks is
     # ~f^2/z^2 and varies by orders of magnitude; damping proportional
@@ -228,11 +233,15 @@ def ba_iteration(camera, pb: BAProblem, huber_px: float, depth_weight: float,
     bl = jnp.where(lm_free[None, :], bl, 0.0)
 
     Hll_inv = _inv3x3_lanes(Hll)  # [3, 3, L]
-    W = jnp.einsum("kiml,mjl->kijl", Hpl, Hll_inv)  # [K, 6, 3, L]
+    W = jnp.sum(Hpl[:, :, :, None, :] * Hll_inv[None, None, :, :, :],
+                axis=2)  # [K, 6, 3, L]
 
-    # Reduced camera system: contraction over (m, l) as one matmul.
-    S_cross = jnp.einsum("kiml,qjml->kqij", W, Hpl)  # [K, K, 6, 6]
-    b_red_lm = jnp.einsum("kiml,ml->ki", W, bl)  # [K, 6]
+    # Reduced camera system (same exact-f32 VPU form; the [K,K,6,6,3,L]
+    # broadcast is ~11M elements — microseconds of VPU/HBM).
+    S_cross = jnp.sum(W[:, None, :, None, :, :]
+                      * Hpl[None, :, None, :, :, :],
+                      axis=(4, 5))  # [K, K, 6, 6]
+    b_red_lm = jnp.sum(W * bl[None, None, :, :], axis=(2, 3))  # [K, 6]
 
     if axis_name is not None:
         # Reduce the camera system over landmark shards (ICI psum).
@@ -261,8 +270,8 @@ def ba_iteration(camera, pb: BAProblem, huber_px: float, depth_weight: float,
     dxi = jnp.where(fix[:, None], 0.0, dxi)
 
     # back-substitute landmarks (local to each shard)
-    rhs = -bl - jnp.einsum("kijl,ki->jl", Hpl, dxi)  # [3, L]
-    dl = jnp.einsum("ijl,jl->il", Hll_inv, rhs)  # [3, L]
+    rhs = -bl - jnp.sum(Hpl * dxi[:, :, None, None], axis=(0, 1))  # [3, L]
+    dl = jnp.sum(Hll_inv * rhs[None, :, :], axis=1)  # [3, L]
     dl = jnp.where(lm_free[None, :], dl, 0.0)
 
     dR, dt = se3_exp(dxi)

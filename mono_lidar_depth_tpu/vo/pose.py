@@ -97,9 +97,12 @@ def estimate_pose_gn(
             w_h = jnp.where(err <= huber_px, 1.0,
                             huber_px / jnp.maximum(err, 1e-9))
             w = jnp.where(sel_mask & ~behind, w_h, 0.0)[None, None, :]
-            H = jnp.einsum("rin,rjn->ij", J * w, J)
-            # gradient pinned: the GN fixed point is g == 0
-            g = jnp.einsum("rin,rn->i", J * w, r, precision=HI)
+            # VPU broadcast-reduce: exact f32 without the MXU multi-pass
+            # cost of precision-pinned skinny einsums (same rationale as
+            # vo/ba.py); the gradient sets the GN fixed point (g == 0)
+            Jw = J * w
+            H = jnp.sum(Jw[:, :, None, :] * J[:, None, :, :], axis=(0, 3))
+            g = jnp.sum(Jw * r[:, None, :], axis=(0, 2))
             H = H + 1e-6 * jnp.eye(6, dtype=H.dtype)
             # closed-form block solve: ~17 jnp.linalg.solve custom
             # calls per frame cost ~80 us of launch latency EACH
