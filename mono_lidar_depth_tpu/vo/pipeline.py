@@ -132,10 +132,32 @@ def _odometry_tail(cfg, ocfg, camera, state, tl_state, depths, codes):
     est = estimate_pose_gn(camera, lm_prev, uv_cur, usable,
                            R_init=state.rel_R, t_init=state.rel_t,
                            iters=ocfg.gn_iters)
-    enough = n_usable >= ocfg.min_motion_tracks
-    # motion cur←prev; identity fallback when starved
-    # starved frames coast on the constant-velocity model instead of
-    # freezing (prevents turn dropouts from zeroing the motion)
+
+    # Recovery restart: after a long coasting stretch (tracker starved
+    # through a turn) the warm start can be far outside the GN basin —
+    # the solve then "succeeds" with ZERO inliers, and accepting it
+    # poisons every later warm start (observed: pose error growing
+    # monotonically to 600 m after a U-turn while usable tracks were
+    # back above 100).  When the warm-started solve has too few
+    # inliers, retry from identity (lax.cond: the retry only executes
+    # on those frames).
+    def _retry(_):
+        return estimate_pose_gn(camera, lm_prev, uv_cur, usable,
+                                R_init=jnp.eye(3, dtype=jnp.float32),
+                                t_init=jnp.zeros(3, jnp.float32),
+                                iters=ocfg.gn_iters)
+
+    need_retry = est.num_inliers < ocfg.min_motion_tracks
+    est2 = jax.lax.cond(need_retry, _retry, lambda _: est, None)
+    est = jax.tree.map(
+        lambda a, b: jnp.where(est2.num_inliers > est.num_inliers, b, a),
+        est, est2)
+
+    # Acceptance gates on the INLIER count (not the input count): a
+    # converged estimate explains most tracks; otherwise coast on the
+    # constant-velocity model (prevents turn dropouts from zeroing the
+    # motion OR feeding back diverged estimates).
+    enough = est.num_inliers >= ocfg.min_motion_tracks
     R_rel = jnp.where(enough, est.rotation, state.rel_R)
     t_rel = jnp.where(enough, est.translation, state.rel_t)
 
