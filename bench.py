@@ -68,7 +68,14 @@ def main() -> None:
     # All frames in one scanned batch are DISTINCT (fresh cloud, fresh
     # features, fresh RNG key) — identical repeated computations would
     # be CSE'd by XLA and overstate throughput.
-    n_frames = 24
+    #
+    # n_frames amortizes the FIXED per-dispatch overhead of the remote
+    # TPU backend (measured: ~23 ms per jitted call regardless of work,
+    # the tunnel round-trip).  At 24 frames that tax is ~1 ms/frame —
+    # 10% of the step; at 96 it is ~0.24 ms.  Steady-state deployment
+    # streams frames continuously, so the amortized number is the
+    # honest throughput; the dispatch floor is documented in DESIGN.md.
+    n_frames = 96
     reps = 1
     M = cfg.max_features
 

@@ -10,10 +10,14 @@ grids — it FITS IN VMEM.  The kernel DMAs the stack HBM→VMEM once (on
 grid step 0; the scratch persists across steps), then extracts every
 feature's [C, Ky, Kx] window with pure vector ops:
 
-    slab   = stack[:, 8·⌊sy/8⌋ : +Kslab, :]   (8-aligned dynamic
-             sublane slice — Mosaic requires sublane starts ≡ 0 mod 8)
+    slab   = stack[:, 8·⌊sy/8⌋ : +Kslab, 128·⌊sx/128⌋ : +256]
+             (8-aligned sublane + 128-aligned lane dynamic slice —
+             Mosaic requires tile-aligned dynamic starts)
     rows   = roll(slab, Kslab − (sy mod 8), axis=rows)[:Ky]
-    window = roll(rows, W − sx, axis=lanes)[:, :, :128]
+    window = roll(rows, 256 − (sx mod 128), axis=lanes)[:, :, :128]
+
+The 2-lane-tile pre-slice (vs rolling the full Wp width) cuts the
+per-feature vector work ~5× for KITTI-sized grids.
 
 No random HBM access at all: the XLA lowering issues one ~1.3 µs
 dynamic-slice round per feature (~2.7 ms for 2048 features per scale);
@@ -48,7 +52,7 @@ def _slab_rows(Ky: int) -> int:
 
 
 def _window_kernel(sy_ref, sx_ref, stack_hbm, out_ref, stack_vmem, sem,
-                   *, block: int, Ky: int, Wp: int):
+                   *, block: int, Ky: int):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -64,9 +68,17 @@ def _window_kernel(sy_ref, sx_ref, stack_hbm, out_ref, stack_vmem, sem,
         sx = sx_ref[base + b]
         syt = pl.multiple_of((sy // 8) * 8, 8)
         oy = sy - syt
-        w = stack_vmem[:, pl.ds(syt, Kslab), :]   # [C, Kslab, Wp]
+        # Lane-tile pre-slice: take the 128-aligned 256-lane chunk that
+        # contains [sx, sx+128) and roll THAT — rolling the full Wp
+        # width (10 lane tiles for KITTI) to move sx to lane 0 is 5x
+        # the vector work of rolling 2 tiles (measured: ~2x kernel
+        # speedup end-to-end).  Requires Wp >= max sxt + 256 (padding
+        # guaranteed by slice_windows_tpu).
+        sxt = pl.multiple_of((sx // 128) * 128, 128)
+        ox = sx - sxt
+        w = stack_vmem[:, pl.ds(syt, Kslab), pl.ds(sxt, 256)]
         w = pltpu.roll(w, Kslab - oy, axis=1)     # row oy -> sublane 0
-        w = pltpu.roll(w, Wp - sx, axis=2)        # col sx -> lane 0
+        w = pltpu.roll(w, 256 - ox, axis=2)       # col sx -> lane 0
         out_ref[b] = w[:, :Ky, :128]
 
     def body_unrolled(q, carry):
@@ -84,7 +96,7 @@ def _windows_vmem(stack: jnp.ndarray, sy: jnp.ndarray,
     N % _BLOCK == 0, Hp >= 8*floor(max sy/8) + slab rows)."""
     C, Hp, Wp = stack.shape
     N = sy.shape[0]
-    kernel = functools.partial(_window_kernel, block=_BLOCK, Ky=Ky, Wp=Wp)
+    kernel = functools.partial(_window_kernel, block=_BLOCK, Ky=Ky)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -118,7 +130,10 @@ def slice_windows_tpu(stack: jnp.ndarray, sy: jnp.ndarray, sx: jnp.ndarray,
     C, H, W = stack.shape
     N = sy.shape[0]
     Kslab = _slab_rows(Ky)
-    Wp = _pad_up(W, 128)
+    # +128 lanes so the kernel's 256-wide pre-slice at the last
+    # 128-aligned start (max sxt = floor((W-Kx)/128)*128) stays in
+    # bounds: sxt + 256 <= pad128(W) + 128 always.
+    Wp = _pad_up(W, 128) + 128
     Hp = max(_pad_up(H, 8), ((H - Ky) // 8) * 8 + Kslab)
     Np = _pad_up(N, _BLOCK)
     stack_p = jnp.pad(stack.astype(jnp.float32),
@@ -134,7 +149,7 @@ def slice_windows(stack: jnp.ndarray, sy: jnp.ndarray, sx: jnp.ndarray,
     """Backend-dispatching window extraction (TPU: VMEM-resident Pallas
     kernel; elsewhere / oversize grids: XLA vmapped dynamic_slice)."""
     C, H, W = stack.shape
-    Wp = _pad_up(W, 128)
+    Wp = _pad_up(W, 128) + 128
     Hp = max(_pad_up(H, 8), ((H - Ky) // 8) * 8 + _slab_rows(Ky))
     stack_bytes = 4 * C * Hp * Wp
     if (jax.default_backend() != "cpu" and Kx <= 128
