@@ -266,7 +266,12 @@ def ba_iteration(camera, pb: BAProblem, huber_px: float, depth_weight: float,
     b_red = jnp.where(fix[:, None], 0.0, b_red)
 
     Sd = S.transpose(0, 2, 1, 3).reshape(6 * K, 6 * K)
-    dxi = -jnp.linalg.solve(Sd, b_red.reshape(-1)).reshape(K, 6)
+    # The blocked LU inside linalg.solve uses dot_general at DEFAULT
+    # precision — pin it: the reduced camera system is the end of the
+    # Schur cancellation chain and bf16 factor products corrupt the
+    # pose update the same way solve6_spd did (see vo/linalg6.py).
+    with jax.default_matmul_precision("float32"):
+        dxi = -jnp.linalg.solve(Sd, b_red.reshape(-1)).reshape(K, 6)
     dxi = jnp.where(fix[:, None], 0.0, dxi)
 
     # back-substitute landmarks (local to each shard)

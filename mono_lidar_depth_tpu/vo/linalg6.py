@@ -9,11 +9,27 @@ estimator.  A 6x6 SPD system splits into 3x3 blocks
 
 and solves in closed form via two adjugate 3x3 inverses and a Schur
 complement — ~20 tiny fused vector HLOs, no custom call.
+
+Every product here is precision-pinned to exact f32: the Schur
+complement M = C - Bᵀ A⁻¹ B cancels strongly for monocular pose
+Hessians (large trans/rot coupling at f ≈ 240), and TPU default
+(bf16-input) matmuls corrupt the GN step direction enough that the
+solve stops converging on frames where exact f32 converges — measured
+as the frame-54/93-97 TPU-vs-CPU trajectory splits in the r3 VO
+divergence diagnosis (scripts/diag_vo_divergence.py).  The matrices
+are 3x3; pinning costs nothing.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _mm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.matmul(a, b, precision=_HI)
 
 
 def inv3(M: jnp.ndarray) -> jnp.ndarray:
@@ -44,9 +60,10 @@ def solve6_spd(H: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
     g1 = g[:3]
     g2 = g[3:]
     Ai = inv3(A)
-    AiB = Ai @ B
-    M = C - B.T @ AiB
+    AiB = _mm(Ai, B)
+    M = C - _mm(B.T, AiB)
     Mi = inv3(M)
-    x2 = Mi @ (g2 - B.T @ (Ai @ g1))
-    x1 = Ai @ g1 - AiB @ x2
+    Aig1 = _mm(Ai, g1[:, None])[:, 0]
+    x2 = _mm(Mi, (g2 - _mm(B.T, Aig1[:, None])[:, 0])[:, None])[:, 0]
+    x1 = Aig1 - _mm(AiB, x2[:, None])[:, 0]
     return jnp.concatenate([x1, x2])

@@ -42,6 +42,21 @@ class OdometryConfig(NamedTuple):
     min_motion_tracks: int = 12
     gn_iters: int = 10  # frame-to-frame pose GN iterations (stage 2
     #                     adds max(gn_iters // 2, 3) refit iterations)
+    # Acceptance gates beyond the inlier count (all three must pass,
+    # else the frame coasts on the constant-velocity model).  A solve
+    # can "succeed" with enough inliers yet be garbage — observed as
+    # single-frame |t_rel| of 2.8 m against a true 0.55 m when a
+    # precision bug degraded the GN step (diag record, frame 54); these
+    # gates make that failure class coast instead of corrupting the
+    # trajectory, on ANY backend.
+    accept_max_err: float = 1.5  # px: mean inlier reprojection error
+    accel_gate_m: float = 1.0  # max |t_rel| change per frame (m);
+    #                            ~100 m/s^2 at 10 Hz — kinematically
+    #                            impossible for a vehicle, so anything
+    #                            beyond it is a solver failure
+    # Retry-from-identity triggers (warm start outside the GN basin):
+    retry_inlier_ratio: float = 0.5  # inliers < ratio * usable
+    retry_max_err: float = 1.0  # px
     # Carry BA-optimized landmark positions across frames (slots
     # invalidated when their track slot is reused).  Off: landmarks are
     # re-unprojected from the newest in-window depth every frame
@@ -147,17 +162,33 @@ def _odometry_tail(cfg, ocfg, camera, state, tl_state, depths, codes):
                                 t_init=jnp.zeros(3, jnp.float32),
                                 iters=ocfg.gn_iters)
 
-    need_retry = est.num_inliers < ocfg.min_motion_tracks
+    need_retry = ((est.num_inliers < ocfg.min_motion_tracks)
+                  | (est.num_inliers.astype(jnp.float32)
+                     < ocfg.retry_inlier_ratio * n_usable)
+                  | (est.mean_error > ocfg.retry_max_err))
     est2 = jax.lax.cond(need_retry, _retry, lambda _: est, None)
     est = jax.tree.map(
         lambda a, b: jnp.where(est2.num_inliers > est.num_inliers, b, a),
         est, est2)
 
-    # Acceptance gates on the INLIER count (not the input count): a
-    # converged estimate explains most tracks; otherwise coast on the
-    # constant-velocity model (prevents turn dropouts from zeroing the
-    # motion OR feeding back diverged estimates).
-    enough = est.num_inliers >= ocfg.min_motion_tracks
+    # Acceptance gates (see OdometryConfig): enough inliers, converged
+    # residual, and kinematically plausible translation change.
+    # Otherwise coast on the constant-velocity model (prevents turn
+    # dropouts from zeroing the motion OR feeding back diverged
+    # estimates).
+    # The gate scales with speed (fast driving turns the rel-translation
+    # VECTOR by ~|t|·dtheta per frame), and a high-confidence solve
+    # (3x the inlier floor at sub-pixel error) overrides it — otherwise
+    # a stale constant-velocity model after a long coast could reject a
+    # genuine recovery forever.
+    gate = jnp.maximum(ocfg.accel_gate_m,
+                       0.5 * jnp.linalg.norm(state.rel_t))
+    plausible = jnp.linalg.norm(est.translation - state.rel_t) <= gate
+    confident = ((est.num_inliers >= 3 * ocfg.min_motion_tracks)
+                 & (est.mean_error <= 0.8))
+    enough = ((est.num_inliers >= ocfg.min_motion_tracks)
+              & (est.mean_error <= ocfg.accept_max_err)
+              & (plausible | confident))
     R_rel = jnp.where(enough, est.rotation, state.rel_R)
     t_rel = jnp.where(enough, est.translation, state.rel_t)
 

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from ..core.geometry import PinholeCamera
 from .lie import se3_exp
 from .linalg6 import solve6_spd
-from ..precision import HI, hi3_matmuls
+from ..precision import HI, f32_matmuls
 
 
 class PoseEstimate(NamedTuple):
@@ -35,6 +35,7 @@ class PoseEstimate(NamedTuple):
 
 @partial(jax.jit, static_argnames=("camera", "iters", "huber_px",
                                    "outlier_px", "min_depth"))
+@f32_matmuls
 def estimate_pose_gn(
     camera: PinholeCamera,
     landmarks_ref: jnp.ndarray,
