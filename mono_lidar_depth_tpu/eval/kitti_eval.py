@@ -14,6 +14,7 @@ All functions accept a KittiSequence; scripts/run_kitti.py is the CLI.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Iterable, Optional
 
 import numpy as np
@@ -82,6 +83,93 @@ def _frame_inputs(seq: KittiSequence, cfg: DepthEstimatorConfig,
             stamp=jnp.asarray(stamp), rng=sub, semantic=sem), f
 
 
+def _stack_sequence(seq: KittiSequence, cfg: DepthEstimatorConfig,
+                    max_frames: Optional[int], use_semantics: bool):
+    """Host-stack a sequence into dense per-frame arrays for the
+    scanned eval drivers: frame 0 is the tracker-init / state-prime
+    frame, frames 1..n-1 are the scan body's inputs.  Matches
+    `_frame_inputs`' per-frame payloads exactly (incl. the PRNG split
+    chain), but with ONE host→device transfer and ONE device program
+    for the whole sequence instead of per-frame dispatch — the
+    per-frame eval loop was latency-bound at ~8 fps on the remote TPU
+    (~0.12 s/frame of dispatch round-trips) while the same math scans
+    at >100 fps (bench.py), PARITY_r2's 550 s config-2 anomaly."""
+    n = len(seq) if max_frames is None else min(len(seq), max_frames)
+    imgs, clouds, cvalids, sems = [], [], [], []
+    for f, (xyzi, count) in enumerate(seq.scans(cfg.max_points)):
+        if f >= n:
+            break
+        cloud, cvalid = pad_cloud(xyzi, count, cfg.max_points)
+        img = seq.image(f)
+        if img is None:
+            raise FileNotFoundError(
+                f"sequence {seq.sequence} has no image_0 data")
+        imgs.append(img.astype(np.float32) / 255.0)
+        clouds.append(cloud)
+        cvalids.append(cvalid)
+        if use_semantics:
+            sem = seq.semantic(f)
+            if sem is None:
+                raise FileNotFoundError(
+                    f"sequence {seq.sequence} has no semantic_0 data "
+                    f"(frame {f}) — semantic plane mode needs it")
+            sems.append(sem.astype(np.int32))
+    n = len(imgs)
+    if seq.times is not None:
+        stamps = np.asarray(seq.times[:n], np.float32)
+    else:
+        stamps = np.arange(n, dtype=np.float32)
+    # PRNG chain: one split per PROCESSED frame (frames 1..n-1),
+    # identical to _frame_inputs' prev_key evolution.
+    key = jax.random.PRNGKey(0)
+    keys = []
+    for _ in range(n - 1):
+        key, sub = jax.random.split(key)
+        keys.append(sub)
+    return {
+        "images": jnp.asarray(np.stack(imgs)),
+        "clouds": jnp.asarray(np.stack(clouds)),
+        "cvalids": jnp.asarray(np.stack(cvalids)),
+        "sems": jnp.asarray(np.stack(sems)) if use_semantics else None,
+        "stamps": jnp.asarray(stamps),
+        "keys": jnp.stack(keys) if keys else jnp.zeros((0, 2), jnp.uint32),
+    }, n
+
+
+@partial(jax.jit, static_argnames=("cfg", "camera", "pyramid_levels",
+                                   "with_sem"))
+def _scan_depth_eval(cfg, camera, lidar_to_cam, state0, arrs,
+                     pyramid_levels: int = 4, with_sem: bool = False):
+    """Whole-sequence depth association as one device program."""
+    sem0 = arrs["sems"][0] if with_sem else None
+    state0 = prime_state(cfg, camera, lidar_to_cam, state0,
+                         arrs["clouds"][0], arrs["cvalids"][0],
+                         jax.random.PRNGKey(1234), semantic=sem0)
+    tracker0 = init_tracker(arrs["images"][0], cfg.max_features,
+                            levels=pyramid_levels)
+
+    def step(carry, xs):
+        tstate, dstate = carry
+        tstate, out = track_frame(tstate, xs["img"])
+        frame = FrameInput(
+            cloud=xs["cloud"], cloud_valid=xs["cvalid"],
+            ids=out.ids, ids_valid=out.valid,
+            uv_new=out.uv_new, uv_prev=out.uv_prev,
+            stamp=xs["stamp"], rng=xs["key"],
+            semantic=xs["sem"] if with_sem else None)
+        dstate, _, _ = process_frame(cfg, camera, lidar_to_cam, dstate,
+                                     frame)
+        return (tstate, dstate), None
+
+    xs = {"img": arrs["images"][1:], "cloud": arrs["clouds"][1:],
+          "cvalid": arrs["cvalids"][1:], "stamp": arrs["stamps"][1:],
+          "key": arrs["keys"]}
+    if with_sem:
+        xs["sem"] = arrs["sems"][1:]
+    (_, dstate), _ = jax.lax.scan(step, (tracker0, state0), xs)
+    return dstate.counters
+
+
 def eval_depth_sequence(seq: KittiSequence, cfg: DepthEstimatorConfig,
                         max_frames: Optional[int] = None,
                         max_tracks: int = 4096, max_length: int = 12,
@@ -94,33 +182,52 @@ def eval_depth_sequence(seq: KittiSequence, cfg: DepthEstimatorConfig,
     the ground plane comes from the sequence's semantic label images)."""
     if plane_mode not in ("ransac", "semantic"):
         raise ValueError(f"unknown plane_mode {plane_mode!r}")
+    with_sem = plane_mode == "semantic"
+    arrs, n = _stack_sequence(seq, cfg, max_frames, with_sem)
     state = TrackletDepthState.create(cfg, max_tracks, max_length)
-    cam = seq.calib.camera
-    T = seq.calib.lidar_to_cam
-    frames = 0
-    prime: list = []
-    for frame, f in _frame_inputs(seq, cfg, max_frames, prime,
-                                  use_semantics=plane_mode == "semantic"):
-        if prime:
-            p_cloud, p_valid, p_sem = prime.pop()
-            state = prime_state(cfg, cam, T, state, p_cloud, p_valid,
-                                jax.random.PRNGKey(1234), semantic=p_sem)
-        state, depths, codes = process_frame(cfg, cam, T, state, frame)
-        frames += 1
-        if verbose and frames % 50 == 0:
-            rates = success_rates(np.asarray(state.counters))
-            print(f"frame {f}: success(all) "
-                  f"{100 * rates['success_rate_all']:.1f}% "
-                  f"covered {100 * rates['success_rate_lidar_covered']:.1f}%",
-                  flush=True)
+    counters = _scan_depth_eval(cfg, seq.calib.camera,
+                                seq.calib.lidar_to_cam, state, arrs,
+                                with_sem=with_sem)
+    frames = n - 1
     stats = DepthCalcStats.zeros()
-    stats = stats._replace(accumulated=state.counters,
-                           frames=jnp.int32(frames))
-    out = success_rates(np.asarray(state.counters))
+    stats = stats._replace(accumulated=counters, frames=jnp.int32(frames))
+    out = success_rates(np.asarray(counters))
     out["frames"] = frames
+    out["counters"] = np.asarray(counters).tolist()
     if verbose:
         print(format_stats_report(stats))
     return out
+
+
+@partial(jax.jit, static_argnames=("cfg", "ocfg", "camera",
+                                   "pyramid_levels"))
+def _scan_vo_eval(cfg, ocfg, camera, lidar_to_cam, state0, arrs,
+                  pyramid_levels: int = 4):
+    """Whole-sequence VO + window BA as one device program; returns
+    per-frame (R_cw [F,3,3], t_cw [F,3], diag [F,3])."""
+    state0 = state0._replace(tracklets=prime_state(
+        cfg, camera, lidar_to_cam, state0.tracklets,
+        arrs["clouds"][0], arrs["cvalids"][0], jax.random.PRNGKey(1234)))
+    tracker0 = init_tracker(arrs["images"][0], cfg.max_features,
+                            levels=pyramid_levels)
+
+    def step(carry, xs):
+        tstate, ostate = carry
+        tstate, out = track_frame(tstate, xs["img"])
+        frame = FrameInput(
+            cloud=xs["cloud"], cloud_valid=xs["cvalid"],
+            ids=out.ids, ids_valid=out.valid,
+            uv_new=out.uv_new, uv_prev=out.uv_prev,
+            stamp=xs["stamp"], rng=xs["key"])
+        ostate, R_cw, t_cw, diag = odometry_step(
+            cfg, ocfg, camera, lidar_to_cam, ostate, frame)
+        return (tstate, ostate), (R_cw, t_cw, diag)
+
+    xs = {"img": arrs["images"][1:], "cloud": arrs["clouds"][1:],
+          "cvalid": arrs["cvalids"][1:], "stamp": arrs["stamps"][1:],
+          "key": arrs["keys"]}
+    _, (R, t, diag) = jax.lax.scan(step, (tracker0, state0), xs)
+    return R, t, diag
 
 
 def eval_vo_sequence(seq: KittiSequence, cfg: DepthEstimatorConfig,
@@ -129,32 +236,19 @@ def eval_vo_sequence(seq: KittiSequence, cfg: DepthEstimatorConfig,
                      max_tracks: int = 2048, max_length: int = 12,
                      verbose: bool = True) -> dict:
     """Config 3: full VO + sliding-window BA; ATE/RPE vs ground truth."""
-    cam = seq.calib.camera
-    T = seq.calib.lidar_to_cam
+    arrs, n = _stack_sequence(seq, cfg, max_frames, use_semantics=False)
     state = OdometryState.create(cfg, ocfg, max_tracks, max_length)
-    poses = []
-    frame_ids = []
-    prime: list = []
-    for frame, f in _frame_inputs(seq, cfg, max_frames, prime):
-        if prime:
-            p_cloud, p_valid, p_sem = prime.pop()
-            state = state._replace(tracklets=prime_state(
-                cfg, cam, T, state.tracklets, p_cloud, p_valid,
-                jax.random.PRNGKey(1234), semantic=p_sem))
-        state, R_cw, t_cw, diag = odometry_step(cfg, ocfg, cam, T, state,
-                                                frame)
-        R_cw = np.asarray(R_cw)
-        t_cw = np.asarray(t_cw)
-        Tw = np.eye(4)
-        Tw[:3, :3] = R_cw.T
-        Tw[:3, 3] = -R_cw.T @ t_cw
-        poses.append(Tw)
-        frame_ids.append(f)
-        if verbose and len(poses) % 100 == 0:
-            print(f"frame {f}: pos {np.round(Tw[:3, 3], 1)} "
-                  f"tracks {int(np.asarray(diag)[0])}", flush=True)
-    poses = np.stack(poses)
-    out = {"frames": len(poses), "poses": poses, "frame_ids": frame_ids}
+    R, t, diag = _scan_vo_eval(cfg, ocfg, seq.calib.camera,
+                               seq.calib.lidar_to_cam, state, arrs)
+    R = np.asarray(R)
+    t = np.asarray(t)
+    F = R.shape[0]
+    poses = np.tile(np.eye(4), (F, 1, 1))
+    poses[:, :3, :3] = R.transpose(0, 2, 1)
+    poses[:, :3, 3] = -np.einsum("fij,fj->fi", R.transpose(0, 2, 1), t)
+    frame_ids = list(range(1, n))
+    out = {"frames": F, "poses": poses, "frame_ids": frame_ids,
+           "diag": np.asarray(diag)}
     if seq.gt_poses is not None:
         gt = seq.gt_poses[frame_ids]
         out["ate_rmse"] = ate_rmse(poses[:, :3, 3], gt[:, :3, 3])
@@ -173,14 +267,29 @@ def eval_vo_sequence(seq: KittiSequence, cfg: DepthEstimatorConfig,
 def propose_loop_closures(poses: np.ndarray, min_gap: int = 100,
                           radius: float = 10.0, stride: int = 5,
                           max_heading_deg: float = 45.0,
-                          max_candidates: int = 50) -> list[tuple[int, int]]:
+                          max_candidates: int = 50,
+                          drift_frac: float = 0.03) -> list[tuple[int, int]]:
     """Loop-closure candidates over a trajectory.
 
     Accepts [F, 4, 4] poses (or [F, 3] positions — then no heading
-    filter): pairs (i, j) with j - i >= min_gap, |p_i - p_j| < radius,
-    and relative heading below `max_heading_deg` (KLT verification can
-    only match similar viewpoints; opposite-direction passes are
-    skipped rather than wasted on doomed verification)."""
+    filter): pairs (i, j) with j - i >= min_gap, |p_i - p_j| below a
+    DRIFT-AWARE radius, and relative heading below `max_heading_deg`
+    (KLT verification can only match similar viewpoints;
+    opposite-direction passes are skipped rather than wasted on doomed
+    verification).
+
+    The match radius for a pair grows with the path length driven
+    between them: radius_ij = max(radius, drift_frac · pathlen(i→j)) —
+    positions are ESTIMATED, and VO error grows with distance traveled
+    (typically 1-3%), so a fixed radius proposes nothing exactly when
+    closures matter most (high drift).  If a pass still proposes
+    nothing, drift_frac escalates ×2 (up to 100% of path length) and
+    the heading tolerance widens with it (rotational drift corrupts
+    the estimated relative heading just like positional drift corrupts
+    distances): geometric verification downstream rejects false
+    candidates, so over-proposing is cheap; failing open is not.
+    Each accepted j emits up to its 3 closest partners — under drift
+    the single closest estimated i is often the WRONG revisit."""
     poses = np.asarray(poses)
     if poses.ndim == 3:
         positions = poses[:, :3, 3]
@@ -188,45 +297,137 @@ def propose_loop_closures(poses: np.ndarray, min_gap: int = 100,
     else:
         positions = poses
         rots = None
-    cands = []
-    last_j = -10 * stride
-    for j in range(0, len(positions), stride):
-        best = None
-        for i in range(0, j - min_gap, stride):
-            d = np.linalg.norm(positions[i] - positions[j])
-            if d >= radius or (best is not None and d >= best[0]):
-                continue
-            if rots is not None:
-                rel = rots[i].T @ rots[j]
-                ang = np.degrees(np.arccos(
-                    np.clip((np.trace(rel) - 1) / 2, -1, 1)))
-                if ang > max_heading_deg:
+    # cumulative path length (on the estimated trajectory)
+    seg = np.linalg.norm(np.diff(positions, axis=0), axis=1)
+    s = np.concatenate([[0.0], np.cumsum(seg)])
+
+    def scan(frac: float, heading_tol: float) -> list[tuple[int, int]]:
+        cands = []
+        last_j = -10 * stride
+        for j in range(0, len(positions), stride):
+            near = []
+            for i in range(0, j - min_gap, stride):
+                d = np.linalg.norm(positions[i] - positions[j])
+                r_ij = max(radius, frac * (s[j] - s[i]))
+                if d >= r_ij:
                     continue
-            best = (d, i)
-        if best is not None and j - last_j >= 4 * stride:
-            cands.append((best[1], j))
-            last_j = j
-        if len(cands) >= max_candidates:
-            break
-    return cands
+                if rots is not None:
+                    rel = rots[i].T @ rots[j]
+                    ang = np.degrees(np.arccos(
+                        np.clip((np.trace(rel) - 1) / 2, -1, 1)))
+                    if ang > heading_tol:
+                        continue
+                near.append((d, i))
+            if near and j - last_j >= 4 * stride:
+                near.sort()
+                cands.extend((i, j) for _, i in near[:3])
+                last_j = j
+            if len(cands) >= max_candidates:
+                break
+        return cands[:max_candidates]
+
+    frac = drift_frac
+    heading_tol = max_heading_deg
+    while True:
+        cands = scan(frac, heading_tol)
+        if cands or frac >= 1.0:
+            return cands
+        frac = min(2.0 * frac, 1.0)
+        heading_tol = min(2.0 * heading_tol, 180.0)
+
+
+def filter_consistent_closures(poses: np.ndarray,
+                               closures: list[tuple],
+                               rot_tol_deg: float = 3.0,
+                               trans_tol_m: float = 0.5,
+                               drift_frac: float = 0.02
+                               ) -> list[tuple]:
+    """Pairwise-consistency filtering of loop-closure measurements
+    (PCM-lite): keep the largest mutually consistent subset.
+
+    A closure that verified geometrically can still be CONFIDENTLY
+    wrong — KLT latching onto repeating structure gives a tight GN
+    convergence on a mis-registration (measured on the synthetic loop:
+    one closure 7.8 m / 30° off among seven sub-0.2 m ones, and no
+    per-measurement statistic flags it).  What does flag it is mutual
+    consistency: for closures a = (i, j, Za) and b = (k, l, Zb), the
+    cycle i→k→l→j→i composed from Zb and the VO odometry segments
+    O(i→k), O(l→j) predicts Za; drift cancels over the SHORT segments
+    between nearby closure endpoints, so true closures agree with each
+    other even under heavy global drift, while a mis-registration
+    agrees with nothing.  Tolerances grow with the cycle's odometry
+    path length (drift_frac).  Greedy max-clique over the consistency
+    graph (closure counts are tiny); a lone closure passes through
+    unfiltered (nothing to check it against)."""
+    if len(closures) <= 1:
+        return closures
+    poses = np.asarray(poses, np.float64)
+    seg = np.linalg.norm(np.diff(poses[:, :3, 3], axis=0), axis=1)
+    s = np.concatenate([[0.0], np.cumsum(seg)])
+
+    def rel(a: int, b: int) -> np.ndarray:
+        return np.linalg.inv(poses[a]) @ poses[b]
+
+    def as_T(zr, zt) -> np.ndarray:
+        T = np.eye(4)
+        T[:3, :3] = np.asarray(zr, np.float64)
+        T[:3, 3] = np.asarray(zt, np.float64)
+        return T
+
+    n = len(closures)
+    ok = np.zeros((n, n), bool)
+    for a in range(n):
+        ia, ja = closures[a][0], closures[a][1]
+        Za = as_T(closures[a][2], closures[a][3])
+        for b in range(a + 1, n):
+            ib, jb = closures[b][0], closures[b][1]
+            Zb = as_T(closures[b][2], closures[b][3])
+            pred = rel(ia, ib) @ Zb @ rel(jb, ja)
+            E = np.linalg.inv(Za) @ pred
+            ang = np.degrees(np.arccos(np.clip(
+                (np.trace(E[:3, :3]) - 1) / 2, -1, 1)))
+            path = abs(s[ib] - s[ia]) + abs(s[ja] - s[jb])
+            t_tol = trans_tol_m + drift_frac * path
+            r_tol = rot_tol_deg + 0.05 * path  # ~0.05 deg/m VO rot drift
+            ok[a, b] = ok[b, a] = (
+                ang <= r_tol
+                and np.linalg.norm(E[:3, 3]) <= t_tol)
+    # greedy clique: seed at max degree, grow by degree order
+    order = np.argsort(-ok.sum(1))
+    clique: list[int] = []
+    for idx in order:
+        if all(ok[idx, c] for c in clique):
+            clique.append(int(idx))
+    if len(clique) <= 1:
+        # no mutual support anywhere — distrust everything
+        return []
+    return [closures[c] for c in sorted(clique)]
 
 
 def run_pose_graph_backend(poses: np.ndarray,
-                           closures: Iterable[tuple[int, int, np.ndarray,
-                                                    np.ndarray]],
+                           closures: Iterable[tuple],
                            closure_weight: float = 20.0,
-                           gn_iters: int = 10, cg_iters: int = 80
+                           gn_iters: int = 10, cg_iters: int = 80,
+                           consistency_filter: bool = True
                            ) -> np.ndarray:
     """Config 4: optimize a trajectory with odometry-chain edges plus
     loop-closure edges.
 
     Args:
       poses: [F, 4, 4] world←cam VO poses.
-      closures: iterable of (i, j, Z_R [3,3], Z_t [3]) relative
-        measurements T_i⁻¹ T_j.
+      closures: iterable of (i, j, Z_R [3,3], Z_t [3][, w6 [6]])
+        relative measurements T_i⁻¹ T_j; the optional w6 gives
+        per-residual-component confidences in [0, 1] ([rho, phi]
+        ordering) — closure_constraint_from_frames derives them from
+        the verification GN's covariance, so a closure whose
+        translation is weakly observed (far-landmark geometry)
+        contributes its (strong) rotation without polluting positions.
 
     Returns the optimized [F, 4, 4] poses.
     """
+    closures = list(closures)
+    if consistency_filter:
+        closures = filter_consistent_closures(poses, closures)
     F = len(poses)
     R = poses[:, :3, :3].astype(np.float32)
     t = poses[:, :3, 3].astype(np.float32)
@@ -236,19 +437,22 @@ def run_pose_graph_backend(poses: np.ndarray,
         ej.append(k + 1)
         ZR.append(R[k].T @ R[k + 1])
         Zt.append(R[k].T @ (t[k + 1] - t[k]))
-        w.append(1.0)
-    for (i, j, zr, zt) in closures:
+        w.append(np.ones(6, np.float32))
+    for c in closures:
+        i, j, zr, zt = c[:4]
+        w6 = np.asarray(c[4], np.float32) if len(c) > 4 \
+            else np.ones(6, np.float32)
         ei.append(i)
         ej.append(j)
         ZR.append(np.asarray(zr, np.float32))
         Zt.append(np.asarray(zt, np.float32))
-        w.append(closure_weight)
+        w.append(closure_weight * w6)
     g = PoseGraph(
         R=jnp.asarray(R), t=jnp.asarray(t),
         edge_i=jnp.asarray(np.array(ei, np.int32)),
         edge_j=jnp.asarray(np.array(ej, np.int32)),
         Z_R=jnp.asarray(np.stack(ZR)), Z_t=jnp.asarray(np.stack(Zt)),
-        edge_weight=jnp.asarray(np.array(w, np.float32)),
+        edge_weight=jnp.asarray(np.stack(w)),
         edge_valid=jnp.ones(len(ei), bool),
         fixed=jnp.asarray(np.arange(F) == 0))
     out = optimize_pose_graph(g, gn_iters=gn_iters, cg_iters=cg_iters)
@@ -261,35 +465,119 @@ def run_pose_graph_backend(poses: np.ndarray,
 def closure_constraint_from_frames(seq: KittiSequence,
                                    cfg: DepthEstimatorConfig,
                                    frame_i: int, frame_j: int,
-                                   max_features: int = 512
-                                   ) -> Optional[tuple[np.ndarray, np.ndarray]]:
+                                   max_features: int = 512,
+                                   min_inliers: int = 6,
+                                   max_mean_err_px: float = 1.0,
+                                   max_translation_m: float = 15.0,
+                                   ) -> Optional[tuple[np.ndarray, np.ndarray,
+                                                       np.ndarray]]:
     """Measure the relative pose T_i⁻¹ T_j for a closure candidate:
     detect features in frame i, KLT-track them directly into frame j,
     lift to 3D with frame i's lidar depths, Gauss-Newton the 3D→2D
-    pose.  Returns (Z_R, Z_t) — the transform mapping j-frame camera
-    points from i-frame camera points — or None if verification fails
-    (too few inliers)."""
+    pose.  Returns (Z_R, Z_t, w6) — the transform mapping j-frame
+    camera points from i-frame camera points plus per-component
+    confidences — or None if verification fails.
+
+    Closure pairs sit at multi-meter baselines (unlike the tracker's
+    0.5 m inter-frame step), so: detection is DENSE (8 px cells — wide
+    baselines kill most tracks, and only lidar-covered survivors count),
+    the KLT gates are relaxed (fb 3 px, zncc 0.5), BOTH directions are
+    tried (i→j, then j→i inverted — whichever frame has better lidar
+    coverage of the shared view wins), and acceptance is a JOINT
+    two-tier test trading inlier count against convergence quality:
+    min_inliers at sub-max_mean_err convergence, or 2× the inliers at
+    2× the error — a handful of coherent 3D→2D inliers at sub-pixel
+    residual is physically stronger evidence than a larger count that
+    barely converged.  A plausible translation magnitude is required
+    either way (closures ARE spatial revisits).
+
+    The returned w6 ([rho, phi] ordering, each in [0, 1]) encodes how
+    well each block of the measurement is actually observed, from the
+    verification GN's covariance Cov ≈ σ² H⁻¹ (σ = mean inlier
+    reprojection error): closure views dominated by FAR landmarks
+    (e.g. a wall at 60 m) constrain rotation to sub-degree but
+    translation only to meters — feeding such a measurement into the
+    pose graph at full translation weight actively corrupts a
+    low-drift trajectory (measured: 0.45 m → 2.5 m ATE on the 84-frame
+    loop), while its rotation leg is exactly what cancels yaw drift."""
+    fwd = _closure_pose_one_direction(
+        seq, cfg, frame_i, frame_j, max_features)
+    rev = _closure_pose_one_direction(
+        seq, cfg, frame_j, frame_i, max_features)
+
+    def accept(pose):
+        if pose is None:
+            return False
+        t_norm = float(np.linalg.norm(np.asarray(pose.translation)))
+        n = int(pose.num_inliers)
+        e = float(pose.mean_error)
+        tight = n >= min_inliers and e <= max_mean_err_px
+        loose = n >= 2 * min_inliers and e <= 2.0 * max_mean_err_px
+        return (tight or loose) and t_norm <= max_translation_m
+
+    cand = [p for p in (fwd, rev) if accept(p)]
+    if not cand:
+        return None
+    if len(cand) == 2:
+        pose = rev if int(rev.num_inliers) > int(fwd.num_inliers) else fwd
+    else:
+        pose = cand[0]
+    use_rev = pose is rev
+    # Per-component confidence from the GN covariance Cov = σ² H⁻¹
+    # (left-perturbation coords [rho, phi]; conservative: worst diag
+    # element per block).  Inverting the measurement (fwd case) maps
+    # translation noise through the adjoint — add the |t|·σ_rot lever
+    # arm.  Confidences are σ_ref²/σ² clipped to 1: a closure measured
+    # to σ_t ≤ 0.1 m / σ_r ≤ 0.01 rad keeps full weight; weaker blocks
+    # fade quadratically.
+    H = np.asarray(pose.hessian, np.float64)
+    sigma_px = max(float(pose.mean_error), 0.3)
+    cov = sigma_px ** 2 * np.linalg.inv(
+        H + 1e-6 * np.eye(6))
+    tp_norm = float(np.linalg.norm(np.asarray(pose.translation)))
+    var_r = float(np.max(np.diag(cov)[3:]))
+    var_t = float(np.max(np.diag(cov)[:3])) + tp_norm ** 2 * var_r
+    conf_t = min(1.0, 0.1 ** 2 / max(var_t, 1e-12))
+    conf_r = min(1.0, 0.01 ** 2 / max(var_r, 1e-12))
+    w6 = np.array([conf_t] * 3 + [conf_r] * 3, np.float32)
+    # pose maps source-frame points to target-frame: x_t = R x_s + t ==
+    # T_t←s.  The pose-graph edge wants Z = T_i⁻¹ T_j (j expressed in
+    # i): forward (s=i, t=j) → invert T_j←i; reverse (s=j, t=i) → T_i←j
+    # is already Z.
+    Rp = np.asarray(pose.rotation)
+    tp = np.asarray(pose.translation)
+    if use_rev:
+        return Rp, tp, w6
+    return Rp.T, -Rp.T @ tp, w6
+
+
+def _closure_pose_one_direction(seq, cfg, frame_s: int, frame_t: int,
+                                max_features: int):
+    """3D→2D pose T_t←s for a closure pair: dense-detect in the source
+    frame, KLT directly into the target, lift with the source scan's
+    lidar depths, Gauss-Newton.  Returns a PoseEstimate or None."""
     from ..core.depth_estimator import estimate_depths
     from ..core.ransac import fit_ground_plane_ransac
     from ..tracker.harris import detect_features
     from ..tracker.klt import build_pyramid, track_features
 
-    img_i = seq.image(frame_i)
-    img_j = seq.image(frame_j)
-    if img_i is None or img_j is None:
+    img_s = seq.image(frame_s)
+    img_t = seq.image(frame_t)
+    if img_s is None or img_t is None:
         return None
-    ji = jnp.asarray(img_i.astype(np.float32) / 255.0)
-    jj = jnp.asarray(img_j.astype(np.float32) / 255.0)
-    uv_i, ok = detect_features(ji, max_features)
-    pi = build_pyramid(ji, 4)
-    pj = build_pyramid(jj, 4)
-    uv_j, ok_t = track_features(pi, pj, uv_i, ok, fb_threshold=2.0)
+    if frame_s >= len(seq.scan_paths):
+        return None
+    js = jnp.asarray(img_s.astype(np.float32) / 255.0)
+    jt = jnp.asarray(img_t.astype(np.float32) / 255.0)
+    uv_s, ok = detect_features(js, max_features, cell_size=8)
+    ps = build_pyramid(js, 4)
+    pt = build_pyramid(jt, 4)
+    uv_t, ok_t = track_features(ps, pt, uv_s, ok, fb_threshold=3.0,
+                                min_ncc=0.5)
 
-    if frame_i >= len(seq.scan_paths):
-        return None
     from ..io.kitti import read_velodyne
 
-    xyzi, count = read_velodyne(seq.scan_paths[frame_i], cfg.max_points)
+    xyzi, count = read_velodyne(seq.scan_paths[frame_s], cfg.max_points)
     cloud, cvalid = pad_cloud(xyzi, count, cfg.max_points)
     cam = seq.calib.camera
     gp = fit_ground_plane_ransac(
@@ -297,28 +585,17 @@ def closure_constraint_from_frames(seq: KittiSequence,
         distance_threshold=cfg.ransac_plane_distance_treshold,
         num_hypotheses=cfg.ransac_num_hypotheses,
         subsample=cfg.ransac_subsample_points)
-    pad = cfg.max_features - uv_i.shape[0]
+    M = cfg.max_features
+    pad = M - uv_s.shape[0]
     if pad > 0:
-        uv_i = jnp.concatenate([uv_i, jnp.zeros((pad, 2))])
+        uv_s = jnp.concatenate([uv_s, jnp.zeros((pad, 2))])
         ok_t = jnp.concatenate([ok_t, jnp.zeros(pad, bool)])
-        uv_j = jnp.concatenate([uv_j, jnp.zeros((pad, 2))])
+        uv_t = jnp.concatenate([uv_t, jnp.zeros((pad, 2))])
     est = estimate_depths(cfg, cam, seq.calib.lidar_to_cam,
                           jnp.asarray(cloud), jnp.asarray(cvalid),
-                          uv_i[:cfg.max_features],
-                          ok_t[:cfg.max_features], gp)
+                          uv_s[:M], ok_t[:M], gp)
     d = est.depths
-    usable = ok_t[:cfg.max_features] & (d > 0)
-    rays = cam.viewing_rays(uv_i[:cfg.max_features])
+    usable = ok_t[:M] & (d > 0)
+    rays = cam.viewing_rays(uv_s[:M])
     lm = rays / jnp.maximum(rays[:, 2:3], 1e-6) * d[:, None]
-    pose = estimate_pose_gn(cam, lm, uv_j[:cfg.max_features], usable,
-                            iters=15)
-    if int(pose.num_inliers) < 25:
-        return None
-    # pose maps i-frame points to j-frame: x_j = R x_i + t == T_j←i.
-    # The pose-graph edge wants Z = T_i⁻¹ T_j (i.e. j expressed in i):
-    # T_i⁻¹ T_j = (T_j←i)⁻¹ in relative terms → invert.
-    Rji = np.asarray(pose.rotation)
-    tji = np.asarray(pose.translation)
-    Z_R = Rji.T
-    Z_t = -Rji.T @ tji
-    return Z_R, Z_t
+    return estimate_pose_gn(cam, lm, uv_t[:M], usable, iters=15)

@@ -31,6 +31,14 @@ class PoseEstimate(NamedTuple):
     inliers: jnp.ndarray  # [N] final inlier mask
     mean_error: jnp.ndarray  # scalar mean reprojection error of inliers
     num_inliers: jnp.ndarray
+    # [6, 6] final Gauss-Newton Hessian J^T W J at the solution, in the
+    # left-perturbation coords [rho (3), phi (3)] (px^2/m^2, px^2/rad^2
+    # diag blocks).  Cov ~= mean_error^2 * H^-1 — the measurement
+    # information used to weight loop-closure edges in the pose graph
+    # (translation is often weakly observed at wide closure baselines
+    # while rotation is strong; a scalar edge weight cannot express
+    # that).
+    hessian: jnp.ndarray
 
 
 @partial(jax.jit, static_argnames=("camera", "iters", "huber_px",
@@ -129,10 +137,14 @@ def estimate_pose_gn(
     R = jnp.where(enough, R2, R)
     t = jnp.where(enough, t2, t)
 
-    r, _, behind = residuals_and_jac(R, t)
+    r, J, behind = residuals_and_jac(R, t)
     err = jnp.sqrt(jnp.sum(r * r, axis=0) + 1e-18)
     inliers = valid & ~behind & (err < outlier_px)
     n_in = jnp.sum(inliers)
     mean_err = jnp.sum(jnp.where(inliers, err, 0.0)) / jnp.maximum(n_in, 1)
+    w_fin = jnp.where(inliers, 1.0, 0.0)[None, None, :]
+    Jw = J * w_fin
+    H_fin = jnp.sum(Jw[:, :, None, :] * J[:, None, :, :], axis=(0, 3))
     return PoseEstimate(rotation=R, translation=t, inliers=inliers,
-                        mean_error=mean_err, num_inliers=n_in)
+                        mean_error=mean_err, num_inliers=n_in,
+                        hessian=H_fin)

@@ -36,9 +36,22 @@ class PoseGraph(NamedTuple):
     edge_j: jnp.ndarray  # [E] int32 target pose index
     Z_R: jnp.ndarray  # [E, 3, 3] measured relative rotation (i→j)
     Z_t: jnp.ndarray  # [E, 3]
-    edge_weight: jnp.ndarray  # [E] information scale (1 = unit)
+    # [E] scalar information scale (1 = unit), OR [E, 6] per-residual-
+    # component weights in the se3_log ordering [rho (3), phi (3)] —
+    # closure measurements often carry strong rotation but weak
+    # translation information (far-landmark geometry), and a scalar
+    # weight cannot express that.
+    edge_weight: jnp.ndarray
     edge_valid: jnp.ndarray  # [E]
     fixed: jnp.ndarray  # [N] gauge-fixed poses
+
+
+def _weight6(g: "PoseGraph") -> jnp.ndarray:
+    """Canonicalize edge_weight to [E, 6] per-residual-component form."""
+    w = g.edge_weight
+    if w.ndim == 2:
+        return w
+    return jnp.broadcast_to(w[:, None], (w.shape[0], 6))
 
 
 def _edge_residual(Ri, ti, Rj, tj, ZR, Zt, xi_i, xi_j):
@@ -95,16 +108,19 @@ def optimize_pose_graph(graph: PoseGraph, gn_iters: int = 8,
 
         err = jnp.linalg.norm(r0, axis=-1)
         w_h = jnp.where(err <= huber, 1.0, huber / jnp.maximum(err, 1e-12))
-        w = jnp.where(g.edge_valid, g.edge_weight * w_h, 0.0)  # [E]
+        w6 = _weight6(g)  # [E, 6]
+        w = jnp.where(g.edge_valid[:, None], w6 * w_h[:, None], 0.0)
 
         free_i = ~g.fixed[g.edge_i]
         free_j = ~g.fixed[g.edge_j]
         Ji_m = Ji * free_i[:, None, None]
         Jj_m = Jj * free_j[:, None, None]
 
-        # gradient b = J^T w r, scattered per pose
-        bi = jnp.einsum("e,eri,er->ei", w, Ji_m, r0)
-        bj = jnp.einsum("e,eri,er->ei", w, Jj_m, r0)
+        # gradient b = J^T W r (W diagonal per residual component),
+        # scattered per pose
+        wr = w * r0  # [E, 6]
+        bi = jnp.einsum("eri,er->ei", Ji_m, wr)
+        bj = jnp.einsum("eri,er->ei", Jj_m, wr)
         b = (jnp.zeros((N, 6), r0.dtype)
              .at[g.edge_i].add(bi).at[g.edge_j].add(bj))
         if axis_name is not None:
@@ -115,7 +131,7 @@ def optimize_pose_graph(graph: PoseGraph, gn_iters: int = 8,
             xj = x[g.edge_j]
             Ax = (jnp.einsum("erc,ec->er", Ji_m, xi)
                   + jnp.einsum("erc,ec->er", Jj_m, xj))  # [E, 6]
-            wAx = w[:, None] * Ax
+            wAx = w * Ax
             yi = jnp.einsum("eri,er->ei", Ji_m, wAx)
             yj = jnp.einsum("eri,er->ei", Jj_m, wAx)
             y = (jnp.zeros((N, 6), x.dtype)
@@ -160,7 +176,7 @@ def graph_cost(graph: PoseGraph) -> jnp.ndarray:
     r = jax.vmap(lambda a, b, c, d, e, f: _edge_residual(
         a, b, c, d, e, f, zero, zero))(Ri, ti, Rj, tj, graph.Z_R, graph.Z_t)
     return jnp.sum(jnp.where(graph.edge_valid,
-                             jnp.sum(r * r, axis=-1) * graph.edge_weight, 0.0))
+                             jnp.sum(r * r * _weight6(graph), axis=-1), 0.0))
 
 
 def sequential_edges(R: jnp.ndarray, t: jnp.ndarray,

@@ -83,7 +83,7 @@ def main() -> None:
             z = closure_constraint_from_frames(
                 seq, cfg, vo["frame_ids"][i], vo["frame_ids"][j])
             if z is not None:
-                closures.append((i, j, z[0], z[1]))
+                closures.append((i, j, *z))
         print(f"loop closures: {len(closures)}/{len(cands)} verified")
         opt = run_pose_graph_backend(poses, closures)
         result = {"frames": len(poses), "closures": len(closures)}

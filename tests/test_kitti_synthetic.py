@@ -109,7 +109,7 @@ def test_posegraph_loop_closure_end_to_end(tmp_path_factory):
             seq, cfg, vo["frame_ids"][i], vo["frame_ids"][j],
             max_features=cfg.max_features)
         if z is not None:
-            closures.append((i, j, z[0], z[1]))
+            closures.append((i, j, *z))
     assert len(closures) >= 1, (cands, "no closure verified")
     opt = run_pose_graph_backend(poses, closures)
     gt = seq.gt_poses[vo["frame_ids"]]
@@ -117,6 +117,73 @@ def test_posegraph_loop_closure_end_to_end(tmp_path_factory):
     ate_pg = ate_rmse(opt[:, :3, 3], gt[:, :3, 3])
     assert np.isfinite(ate_pg)
     assert ate_pg < ate_vo, (ate_vo, ate_pg)
+
+
+def test_posegraph_closure_under_high_drift(tmp_path_factory):
+    """Loop closure must still work when VO drift DOMINATES (the regime
+    config 4 exists for): inject heavy synthetic drift into a clean
+    loop trajectory, and assert the drift-aware proposal still finds
+    candidates, verification confirms >= 1, and the pose graph improves
+    ATE.  A fixed proposal radius fails open here (r2 record: 0 of 0
+    proposed at 222 m ATE)."""
+    from mono_lidar_depth_tpu.eval import (
+        eval_vo_sequence, propose_loop_closures, run_pose_graph_backend)
+    from mono_lidar_depth_tpu.eval.kitti_eval import (
+        closure_constraint_from_frames)
+    from mono_lidar_depth_tpu.vo.metrics import ate_rmse
+
+    root = str(tmp_path_factory.mktemp("kitti_drift"))
+    generate_kitti_sequence(
+        root, "96",
+        SyntheticSpec(frames=84, image_width=W, image_height=H,
+                      focal=240.0, lidar_rows=20, lidar_cols=500,
+                      step=0.55, loop=True))
+    cfg = DepthEstimatorConfig(
+        max_points=16384, max_features=384, image_width=W, image_height=H,
+        radiusSearch_count_min=1,
+        ransac_num_hypotheses=256, ransac_subsample_points=1024)
+    seq = KittiSequence(root, "96", image_width=W, image_height=H)
+    vo = eval_vo_sequence(seq, cfg, max_tracks=384, max_length=8,
+                          verbose=False)
+
+    # Inject drift: recompose the trajectory from its relative motions
+    # with a constant yaw bias + scale error per frame (the classic VO
+    # error model).  The images/clouds are untouched, so closure
+    # VERIFICATION still measures true relative poses.
+    poses = vo["poses"]
+    F = len(poses)
+    yaw = np.radians(1.5)  # per frame (ate_rmse rigid-aligns, which
+    #                        absorbs much of a progressive yaw — inject
+    #                        enough that the residual still dominates)
+    dR = np.array([[np.cos(yaw), 0, np.sin(yaw)], [0, 1, 0],
+                   [-np.sin(yaw), 0, np.cos(yaw)]])
+    drifted = [poses[0]]
+    for k in range(F - 1):
+        rel = np.linalg.inv(poses[k]) @ poses[k + 1]
+        rel[:3, :3] = rel[:3, :3] @ dR
+        rel[:3, 3] *= 1.12
+        drifted.append(drifted[-1] @ rel)
+    drifted = np.stack(drifted)
+
+    gt = seq.gt_poses[vo["frame_ids"]]
+    ate_drift = ate_rmse(drifted[:, :3, 3], gt[:, :3, 3])
+    # ~2.7 m on a ~15 m-extent loop (≈18% of extent) — drift dominates
+    assert ate_drift > 2.0, f"drift injection too weak ({ate_drift:.2f} m)"
+    cands = propose_loop_closures(drifted, min_gap=30, radius=2.0,
+                                  stride=2, max_candidates=8)
+    assert cands, "drift-aware proposal found nothing"
+    closures = []
+    for (i, j) in cands:
+        z = closure_constraint_from_frames(
+            seq, cfg, vo["frame_ids"][i], vo["frame_ids"][j],
+            max_features=cfg.max_features)
+        if z is not None:
+            closures.append((i, j, *z))
+    assert len(closures) >= 1, (cands, "no closure verified")
+    opt = run_pose_graph_backend(drifted, closures)
+    ate_pg = ate_rmse(opt[:, :3, 3], gt[:, :3, 3])
+    assert np.isfinite(ate_pg)
+    assert ate_pg < 0.7 * ate_drift, (ate_drift, ate_pg)
 
 
 def test_depth_eval_semantic_plane_mode(dataset, cfg):
