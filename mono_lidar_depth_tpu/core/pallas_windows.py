@@ -22,9 +22,11 @@ per-feature vector work ~5× for KITTI-sized grids.
 No random HBM access at all: the XLA lowering issues one ~1.3 µs
 dynamic-slice round per feature (~2.7 ms for 2048 features per scale);
 this kernel runs the same extraction at ~0.3 µs/feature (~0.62 ms),
-measured on TPU v5e with the in-program scan protocol (scripts/
-proto_window_kernel.py).  The 4× inner unroll hides scalar address
-arithmetic under the vector work.
+measured on TPU v5e with an in-program lax.scan timing protocol
+(repeat the kernel in a scan so dispatch latency amortizes out).  The
+4× inner unroll hides scalar address arithmetic under the vector work.
+Bit-exactness against the XLA fallback is asserted per-shape-class in
+tests_tpu/test_tpu_parity.py (driver-invoked on the real chip).
 
 Output windows are lane-padded to 128 columns; the caller slices
 [:, :, :, :Kx] (fused for free downstream).
@@ -144,6 +146,14 @@ def slice_windows_tpu(stack: jnp.ndarray, sy: jnp.ndarray, sx: jnp.ndarray,
     return out[:N, :, :, :Kx]
 
 
+def _target_platform() -> str:
+    """Platform the next computation will run on: honors an active
+    `jax.default_device(...)` override (e.g. the TPU test tier running
+    CPU reference legs in a TPU process), else the default backend."""
+    dev = jax.config.jax_default_device
+    return dev.platform if dev is not None else jax.default_backend()
+
+
 def slice_windows(stack: jnp.ndarray, sy: jnp.ndarray, sx: jnp.ndarray,
                   Ky: int, Kx: int) -> jnp.ndarray:
     """Backend-dispatching window extraction (TPU: VMEM-resident Pallas
@@ -152,7 +162,7 @@ def slice_windows(stack: jnp.ndarray, sy: jnp.ndarray, sx: jnp.ndarray,
     Wp = _pad_up(W, 128) + 128
     Hp = max(_pad_up(H, 8), ((H - Ky) // 8) * 8 + _slab_rows(Ky))
     stack_bytes = 4 * C * Hp * Wp
-    if (jax.default_backend() != "cpu" and Kx <= 128
+    if (_target_platform() != "cpu" and Kx <= 128
             and stack_bytes <= _VMEM_STACK_BYTES):
         return slice_windows_tpu(stack, sy, sx, Ky, Kx)
 
