@@ -161,6 +161,28 @@ def main() -> None:
     dt = time.perf_counter() - t0
     odo_fps = n_frames * reps / dt
 
+    # Dispatch-inclusive single-frame figure: ONE odometry step per
+    # jitted call, so the fixed per-dispatch round trip of the remote
+    # backend is IN the number.  Reported alongside the amortized
+    # scan throughput so both are visible (steady-state streaming
+    # amortizes the dispatch; a strict 1-frame-in/1-pose-out serving
+    # loop pays it every frame).
+    one_frame = jax.tree.map(lambda a: a[0], frames)
+
+    @jax.jit
+    def run_one(state, frame):
+        return odometry_step(cfg, ocfg, cam, T, state, frame)
+
+    jax.block_until_ready(run_one(state_warm, one_frame))
+    t0 = time.perf_counter()
+    n_single = 10
+    st = state_warm
+    for k in range(n_single):
+        st, R1, t1, d1 = run_one(st, jax.tree.map(
+            lambda a, _k=(k % n_frames): a[_k], frames))
+    jax.block_until_ready((st, R1, t1, d1))
+    single_ms = (time.perf_counter() - t0) / n_single * 1e3
+
     print(json.dumps({
         "metric": "frames_per_s_per_chip_depth_assoc_plus_ba",
         "value": round(odo_fps, 2),
@@ -168,6 +190,7 @@ def main() -> None:
         "vs_baseline": round(odo_fps / 10.0, 2),
         "depth_assoc_fps": round(depth_fps, 2),
         "depth_assoc_vs_baseline": round(depth_fps / 10.0, 2),
+        "single_dispatch_frame_ms": round(single_ms, 2),
     }))
 
 

@@ -1,20 +1,25 @@
 #!/usr/bin/env python
-"""Regenerate the committed evaluation record (PARITY_r2.md / .json).
+"""Regenerate the committed evaluation record (PARITY_r3.md / .json).
 
-One script, all numbers (VERDICT r1 item 6):
+One script, all numbers:
   * config 2 — depth-association success rates on a 220-frame synthetic
     loop sequence, in three modes: RANSAC plane (3-way sync path),
     semantic plane (4-way path), and region growing enabled (the
     capability the reference only stubbed);
   * config 3 — full VO + sliding-window BA: ATE / RPE, with the
-    landmark re-init vs persist ablation (VERDICT item 7);
-  * config 4 — pose-graph backend with verified loop closures: ATE
-    before/after;
+    landmark re-init vs persist ablation, repeated 3× to expose
+    run-to-run variance on the recording backend;
+  * config 4 — pose-graph backend with drift-aware proposal and
+    verified loop closures: ATE before/after;
+  * success-rate vs lidar-density sweep (the reconciliation experiment
+    against the reference's 82.7% covered-success figure);
   * scaling table — frame-parallel depth association + landmark-sharded
     BA at 1/2/4/8 virtual devices (subprocess: scripts/bench_scaling.py)
-    and the 2-process jax.distributed demo;
-  * TPU latency of region growing on/off (only when run on the TPU
-    backend; the CPU run records rates only).
+    and the 2-process jax.distributed demo.
+
+The record header captures backend + commit so every number is
+reproducible; the prose is generated CONDITIONALLY from the numbers
+(a failing configuration reads as a failure).
 
 Usage:  python scripts/make_parity_record.py [--frames 220] [--quick]
 """
@@ -34,12 +39,22 @@ sys.path.insert(0, str(REPO))
 W, H = 384, 128
 
 
+def _git_commit() -> str:
+    try:
+        return subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                              capture_output=True, text=True,
+                              cwd=str(REPO)).stdout.strip()
+    except Exception:
+        return "unknown"
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=220)
     ap.add_argument("--quick", action="store_true",
                     help="small run for smoke-testing the script")
     ap.add_argument("--out", default=str(REPO))
+    ap.add_argument("--tag", default="r3", help="record suffix")
     ap.add_argument("--platform", default=None,
                     help="'cpu' forces the CPU backend (the image's "
                          "sitecustomize pins JAX_PLATFORMS=axon; the env "
@@ -67,10 +82,11 @@ def main() -> None:
     from mono_lidar_depth_tpu.vo.pipeline import OdometryConfig
 
     backend = jax.default_backend()
-    rec: dict = {"backend": backend, "frames": frames}
+    rec: dict = {"backend": backend, "frames": frames,
+                 "commit": _git_commit()}
 
     tmp = tempfile.mkdtemp(prefix="parity_")
-    print(f"[1/6] generating {frames}-frame synthetic loop sequence...",
+    print(f"[1/7] generating {frames}-frame synthetic loop sequence...",
           flush=True)
     generate_kitti_sequence(
         tmp, "98", SyntheticSpec(frames=frames, image_width=W,
@@ -84,57 +100,60 @@ def main() -> None:
         ransac_num_hypotheses=256, ransac_subsample_points=1024)
 
     # ---- config 2: depth association ---------------------------------
-    print("[2/6] depth association (ransac / semantic / region growing)",
+    print("[2/7] depth association (ransac / semantic / region growing)",
           flush=True)
     depth = {}
-    t0 = time.perf_counter()
-    out = eval_depth_sequence(seq, cfg, max_tracks=512, max_length=8,
-                              verbose=False)
-    depth["ransac"] = {
-        "success_rate_all": round(out["success_rate_all"], 4),
-        "success_rate_lidar_covered":
-            round(out["success_rate_lidar_covered"], 4),
-        "wall_s": round(time.perf_counter() - t0, 1)}
-    t0 = time.perf_counter()
-    out = eval_depth_sequence(
-        seq, cfg.replace(ransac_plane_refinement_treshold=0.3),
-        max_tracks=512, max_length=8, verbose=False, plane_mode="semantic")
-    depth["semantic"] = {
-        "success_rate_all": round(out["success_rate_all"], 4),
-        "success_rate_lidar_covered":
-            round(out["success_rate_lidar_covered"], 4),
-        "wall_s": round(time.perf_counter() - t0, 1)}
-    t0 = time.perf_counter()
-    out = eval_depth_sequence(
-        seq, cfg.replace(do_use_depth_segmentation=True),
-        max_tracks=512, max_length=8, verbose=False)
-    depth["region_growing"] = {
-        "success_rate_all": round(out["success_rate_all"], 4),
-        "success_rate_lidar_covered":
-            round(out["success_rate_lidar_covered"], 4),
-        "wall_s": round(time.perf_counter() - t0, 1)}
+    for name, kw in (
+            ("ransac", dict()),
+            ("semantic", dict(plane_mode="semantic")),
+            ("region_growing", dict())):
+        c = cfg
+        if name == "semantic":
+            c = cfg.replace(ransac_plane_refinement_treshold=0.3)
+        elif name == "region_growing":
+            c = cfg.replace(do_use_depth_segmentation=True)
+        t0 = time.perf_counter()
+        out = eval_depth_sequence(seq, c, max_tracks=512, max_length=8,
+                                  verbose=False, **kw)
+        depth[name] = {
+            "success_rate_all": round(out["success_rate_all"], 4),
+            "success_rate_lidar_covered":
+                round(out["success_rate_lidar_covered"], 4),
+            "wall_s": round(time.perf_counter() - t0, 1)}
     rec["depth"] = depth
     print("   ", json.dumps(depth), flush=True)
 
-    # ---- config 3: VO + BA, landmark ablation -------------------------
-    print("[3/6] VO + window BA (re-init vs persisted landmarks)",
+    # ---- config 3: VO + BA, landmark ablation + variance ---------------
+    print("[3/7] VO + window BA (re-init x3 runs, persisted landmarks)",
           flush=True)
     vo_rec = {}
     vo_runs = {}
-    for name, ocfg in (("reinit", OdometryConfig()),
-                       ("persist", OdometryConfig(persist_landmarks=True))):
-        vo = eval_vo_sequence(seq, cfg, ocfg, max_tracks=384, max_length=8,
-                              verbose=False)
-        vo_runs[name] = vo
-        vo_rec[name] = {
+
+    def vo_metrics(vo):
+        return {
             "ate_rmse_m": round(float(vo["ate_rmse"]), 3),
             "rpe_trans_rmse_m": round(float(vo["rpe_trans_rmse"]), 4),
             "rpe_rot_rmse_deg": round(float(vo["rpe_rot_rmse_deg"]), 4)}
+
+    reinit_ates = []
+    for run in range(3):
+        vo = eval_vo_sequence(seq, cfg, OdometryConfig(), max_tracks=384,
+                              max_length=8, verbose=False)
+        reinit_ates.append(round(float(vo["ate_rmse"]), 3))
+        if run == 0:
+            vo_runs["reinit"] = vo
+            vo_rec["reinit"] = vo_metrics(vo)
+    vo_rec["reinit"]["ate_runs_m"] = reinit_ates
+    vo = eval_vo_sequence(seq, cfg, OdometryConfig(persist_landmarks=True),
+                          max_tracks=384, max_length=8, verbose=False)
+    vo_runs["persist"] = vo
+    vo_rec["persist"] = vo_metrics(vo)
     rec["vo"] = vo_rec
     print("   ", json.dumps(vo_rec), flush=True)
 
     # ---- config 4: pose-graph backend ---------------------------------
-    print("[4/6] pose-graph backend with verified loop closures", flush=True)
+    print("[4/7] pose-graph backend with verified loop closures",
+          flush=True)
     vo = vo_runs["reinit"]
     poses = vo["poses"]
     cands = propose_loop_closures(poses, min_gap=30, radius=8.0, stride=2,
@@ -145,7 +164,7 @@ def main() -> None:
             seq, cfg, vo["frame_ids"][i], vo["frame_ids"][j],
             max_features=cfg.max_features)
         if z is not None:
-            closures.append((i, j, z[0], z[1]))
+            closures.append((i, j, *z))
     gt = seq.gt_poses[vo["frame_ids"]]
     ate_vo = float(ate_rmse(poses[:, :3, 3], gt[:, :3, 3]))
     if closures:
@@ -160,8 +179,23 @@ def main() -> None:
         "ate_posegraph_m": round(ate_pg, 3)}
     print("   ", json.dumps(rec["pose_graph"]), flush=True)
 
+    # ---- success-rate vs lidar density (reconciliation) ---------------
+    print("[5/7] success-rate vs lidar-density sweep (subprocess)",
+          flush=True)
+    try:
+        out = subprocess.run(
+            [sys.executable, str(REPO / "scripts" / "exp_success_rate.py"),
+             "--frames", "60"],
+            capture_output=True, text=True, timeout=3600, cwd=str(REPO))
+        lines = [json.loads(ln) for ln in out.stdout.splitlines()
+                 if ln.startswith("{\"lidar_rows\"")]
+        rec["density_sweep"] = lines
+    except Exception as e:  # pragma: no cover
+        rec["density_sweep"] = [{"error": str(e)}]
+    print("   ", json.dumps(rec["density_sweep"]), flush=True)
+
     # ---- scaling table (virtual mesh, separate CPU process) ----------
-    print("[5/6] scaling table (subprocess, virtual 8-device mesh)",
+    print("[6/7] scaling table (subprocess, virtual 8-device mesh)",
           flush=True)
     try:
         out = subprocess.run(
@@ -176,7 +210,7 @@ def main() -> None:
         rec["scaling"] = [{"error": str(e)}]
     print("   ", json.dumps(rec["scaling"]), flush=True)
 
-    print("[6/6] 2-process jax.distributed demo (subprocess)", flush=True)
+    print("[7/7] 2-process jax.distributed demo (subprocess)", flush=True)
     try:
         out = subprocess.run(
             [sys.executable, str(REPO / "scripts" / "multihost_demo.py")],
@@ -191,24 +225,25 @@ def main() -> None:
         rec["multihost_demo"] = {"ok": False, "tail": [str(e)]}
     print("   ", json.dumps(rec["multihost_demo"]), flush=True)
 
-    out_json = Path(args.out) / "PARITY_r2.json"
+    tag = args.tag
+    out_json = Path(args.out) / f"PARITY_{tag}.json"
     out_json.write_text(json.dumps(rec, indent=1) + "\n")
+    md = _render_md(rec, tag)
+    (Path(args.out) / f"PARITY_{tag}.md").write_text(md)
+    print(f"wrote {out_json} and PARITY_{tag}.md")
 
-    md = _render_md(rec)
-    (Path(args.out) / "PARITY_r2.md").write_text(md)
-    print(f"wrote {out_json} and PARITY_r2.md")
 
-
-def _render_md(rec: dict) -> str:
+def _render_md(rec: dict, tag: str) -> str:
     d = rec["depth"]
     v = rec["vo"]
     pg = rec["pose_graph"]
     lines = [
-        "# PARITY_r2 — committed evaluation record",
+        f"# PARITY_{tag} — committed evaluation record",
         "",
         f"Regenerated by `python scripts/make_parity_record.py` "
-        f"(backend: {rec['backend']}, {rec['frames']}-frame synthetic "
-        "loop sequence, 384x128 images, 20x500 lidar).",
+        f"(backend: **{rec['backend']}**, commit `{rec['commit']}`, "
+        f"{rec['frames']}-frame synthetic loop sequence, 384x128 images, "
+        "20x500 lidar).",
         "",
         "## Config 2 — depth association success rates",
         "",
@@ -232,22 +267,68 @@ def _render_md(rec: dict) -> str:
         lines.append(
             f"| {k} | {r['ate_rmse_m']} m | {r['rpe_trans_rmse_m']} m | "
             f"{r['rpe_rot_rmse_deg']} deg |")
+    runs = v["reinit"].get("ate_runs_m", [])
+    if runs:
+        spread = max(runs) - min(runs)
+        lines += ["",
+                  f"Run-to-run (3× reinit, same inputs): ATE = {runs} m "
+                  f"(spread {spread:.3f} m)."]
+    # conditional drift commentary — the note must match the numbers
+    path_len = rec["frames"] * 0.55
+    ate = v["reinit"]["ate_rmse_m"]
+    frac = ate / path_len
+    if frac < 0.05:
+        lines += ["",
+                  f"VO drift is {100*frac:.1f}% of the {path_len:.0f} m "
+                  "path — small; the pose-graph backend's effect at this "
+                  "drift level is neutral-to-noise (its benefit regime is "
+                  "high drift, covered by "
+                  "tests/test_kitti_synthetic.py::"
+                  "test_posegraph_closure_under_high_drift)."]
+    else:
+        lines += ["",
+                  f"NOTE: VO drift is {100*frac:.1f}% of the "
+                  f"{path_len:.0f} m path — LARGE.  This run records a "
+                  "failure mode; see the config-4 numbers for whether the "
+                  "backend recovered it."]
     lines += [
         "",
         "## Config 4 — pose-graph backend",
         "",
         f"Loop closures: {pg['closures_verified']} verified of "
-        f"{pg['closures_proposed']} proposed.  ATE RMSE: "
-        f"**{pg['ate_vo_m']} m (VO) → {pg['ate_posegraph_m']} m "
+        f"{pg['closures_proposed']} proposed (drift-aware radius).  "
+        f"ATE RMSE: **{pg['ate_vo_m']} m (VO) → {pg['ate_posegraph_m']} m "
         "(pose graph)**.",
-        "",
-        "Note: when VO drift is already small (~1% of trajectory "
-        "length), the verified closures' own measurement error is "
-        "comparable to the drift and the backend's ATE effect is "
-        "neutral-to-noise; its benefit appears when drift dominates "
-        "(asserted in CI: tests/test_kitti_synthetic.py::"
-        "test_posegraph_loop_closure_end_to_end requires "
-        "pose-graph ATE < VO ATE).",
+    ]
+    if pg["closures_verified"] == 0:
+        lines += ["",
+                  "NOTE: zero closures verified — the pose-graph column "
+                  "is not evaluable on this run (recorded as such, not "
+                  "wallpapered)."]
+    sweep = rec.get("density_sweep", [])
+    if sweep and "lidar_rows" in sweep[0]:
+        lines += [
+            "",
+            "## Success rate vs lidar density (reconciliation vs the "
+            "reference's 82.7%)",
+            "",
+            "| lidar rows | success (all) | success (lidar-covered) |",
+            "|---|---|---|",
+        ]
+        for row in sweep:
+            lines.append(
+                f"| {row['lidar_rows']} | {100*row['success_all']:.1f}% | "
+                f"{100*row['success_covered']:.1f}% |")
+        lines += [
+            "",
+            "The reference's 82.7% covered-success figure "
+            "(monolidar_fusion/Logs/log_depth_calc_stats.txt:4-5) was "
+            "logged on 64-beam KITTI scans; the synthetic record uses "
+            "20 rows.  The sweep above holds scene/trajectory/config "
+            "fixed and varies only vertical lidar density — see "
+            "DESIGN.md for the conclusion drawn from it.",
+        ]
+    lines += [
         "",
         "## Scaling (virtual 8-device mesh)",
         "",
