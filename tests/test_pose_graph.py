@@ -103,3 +103,40 @@ def test_fixed_pose_untouched(rng):
                                atol=1e-7)
     np.testing.assert_allclose(np.asarray(out.t[0]), np.asarray(g.t[0]),
                                atol=1e-7)
+
+
+def test_component_weights_gate_translation(rng):
+    """[E, 6] per-component edge weights: a loop-closure edge whose
+    TRANSLATION components carry a gross error but zero weight must
+    still contribute its (exact) rotation — the drifted graph's
+    rotations converge as if the closure translation were absent,
+    and the bogus translation must NOT be pulled in."""
+    g, R_gt, t_gt = _build_graph(rng, n_loop=0)
+    E = g.edge_i.shape[0]
+    N = g.R.shape[0]
+    # one closure N-1 -> 0: exact rotation, translation off by 30 m
+    ZR, Zt = _rel(R_gt[N - 1], t_gt[N - 1], R_gt[0], t_gt[0])
+    Zt_bad = Zt + np.array([30.0, 0, 0], np.float32)
+    w6_all = np.broadcast_to(
+        np.asarray(g.edge_weight)[:, None], (E, 6)).astype(np.float32)
+    w_cl = np.array([0, 0, 0, 20, 20, 20], np.float32)  # rot-only
+    g6 = g._replace(
+        edge_i=jnp.concatenate([g.edge_i, jnp.asarray([N - 1], jnp.int32)]),
+        edge_j=jnp.concatenate([g.edge_j, jnp.asarray([0], jnp.int32)]),
+        Z_R=jnp.concatenate([g.Z_R, jnp.asarray(ZR, jnp.float32)[None]]),
+        Z_t=jnp.concatenate([g.Z_t, jnp.asarray(Zt_bad, jnp.float32)[None]]),
+        edge_weight=jnp.asarray(np.concatenate([w6_all, w_cl[None]])),
+        edge_valid=jnp.ones(E + 1, bool))
+    out = optimize_pose_graph(g6, gn_iters=6, cg_iters=60)
+    # rotation improved toward the closure's exact measurement
+    rel_fin = np.asarray(out.R[N - 1]).T @ np.asarray(out.R[0])
+    ang_fin = np.degrees(np.arccos(np.clip(
+        (np.trace(ZR.T @ rel_fin) - 1) / 2, -1, 1)))
+    assert ang_fin < 1.0, f"closure rotation not honored ({ang_fin:.2f} deg)"
+    # ...and the 30 m bogus translation was NOT pulled in: the final
+    # N-1 -> 0 relative translation stays near the drifted-odometry
+    # prediction, nowhere near the corrupted measurement
+    t_fin = np.asarray(out.R[N - 1]).T @ (
+        np.asarray(out.t[0]) - np.asarray(out.t[N - 1]))
+    assert np.linalg.norm(t_fin - Zt_bad) > 15.0, (
+        "zero-weight translation was pulled toward the bogus measurement")
