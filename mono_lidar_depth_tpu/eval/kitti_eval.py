@@ -406,7 +406,9 @@ def filter_consistent_closures(poses: np.ndarray,
 
 def run_pose_graph_backend(poses: np.ndarray,
                            closures: Iterable[tuple],
-                           closure_weight: float = 20.0,
+                           closure_weight: float = 1.0,
+                           odom_sigma_t: float = 0.06,
+                           odom_sigma_rot_deg: float = 1.0,
                            gn_iters: int = 10, cg_iters: int = 80,
                            consistency_filter: bool = True
                            ) -> np.ndarray:
@@ -422,6 +424,18 @@ def run_pose_graph_backend(poses: np.ndarray,
         the verification GN's covariance, so a closure whose
         translation is weakly observed (far-landmark geometry)
         contributes its (strong) rotation without polluting positions.
+      closure_weight: extra scale on closure information (1 = trust the
+        covariance-derived confidences as-is).
+      odom_sigma_t / odom_sigma_rot_deg: per-edge odometry noise.  All
+        weights share one information scale (weight 1 ≡ σ_t = 0.1 m /
+        σ_rot = 0.01 rad — the reference sigmas of the closure
+        confidences), so odometry and closure edges are balanced by
+        MEASURED noise rather than a hand-picked ratio.  The defaults
+        are this pipeline's measured per-frame RPE on the synthetic
+        loop (trans RMSE 0.06 m, rot RMSE ~1-1.6°); a fixed 20x closure
+        boost over-weighted closures ~50x against that and made the
+        backend DEGRADE low-drift trajectories (measured 2.27 → 2.45 m
+        ATE on the 220-frame loop).
 
     Returns the optimized [F, 4, 4] poses.
     """
@@ -431,13 +445,16 @@ def run_pose_graph_backend(poses: np.ndarray,
     F = len(poses)
     R = poses[:, :3, :3].astype(np.float32)
     t = poses[:, :3, 3].astype(np.float32)
+    w_ot = (0.1 / max(odom_sigma_t, 1e-4)) ** 2
+    w_or = (0.01 / max(np.radians(odom_sigma_rot_deg), 1e-5)) ** 2
+    w_odom = np.array([w_ot] * 3 + [w_or] * 3, np.float32)
     ei, ej, ZR, Zt, w = [], [], [], [], []
     for k in range(F - 1):
         ei.append(k)
         ej.append(k + 1)
         ZR.append(R[k].T @ R[k + 1])
         Zt.append(R[k].T @ (t[k + 1] - t[k]))
-        w.append(np.ones(6, np.float32))
+        w.append(w_odom)
     for c in closures:
         i, j, zr, zt = c[:4]
         w6 = np.asarray(c[4], np.float32) if len(c) > 4 \

@@ -115,11 +115,24 @@ def main() -> None:
         t0 = time.perf_counter()
         out = eval_depth_sequence(seq, c, max_tracks=512, max_length=8,
                                   verbose=False, **kw)
+        cold_s = time.perf_counter() - t0
+        # Second identical call reuses the jitted executable: wall_s is
+        # the steady-state sequence time (what per-frame throughput
+        # means), wall_cold_s additionally carries the one-time
+        # trace+compile (large for the first program each process sends
+        # through the remote-compile tunnel).  The r2 record conflated
+        # the two AND had per-frame dispatch in the loop; the scanned
+        # harness leaves compile as the only non-linear cost.
+        t0 = time.perf_counter()
+        out = eval_depth_sequence(seq, c, max_tracks=512, max_length=8,
+                                  verbose=False, **kw)
+        warm_s = time.perf_counter() - t0
         depth[name] = {
             "success_rate_all": round(out["success_rate_all"], 4),
             "success_rate_lidar_covered":
                 round(out["success_rate_lidar_covered"], 4),
-            "wall_s": round(time.perf_counter() - t0, 1)}
+            "wall_s": round(warm_s, 1),
+            "wall_cold_s": round(cold_s, 1)}
     rec["depth"] = depth
     print("   ", json.dumps(depth), flush=True)
 
@@ -247,14 +260,16 @@ def _render_md(rec: dict, tag: str) -> str:
         "",
         "## Config 2 — depth association success rates",
         "",
-        "| plane mode | success (all) | success (lidar-covered) | wall s |",
-        "|---|---|---|---|",
+        "| plane mode | success (all) | success (lidar-covered) | "
+        "steady wall s | cold wall s (incl. compile) |",
+        "|---|---|---|---|---|",
     ]
     for k in ("ransac", "semantic", "region_growing"):
         r = d[k]
         lines.append(
             f"| {k} | {100*r['success_rate_all']:.1f}% | "
-            f"{100*r['success_rate_lidar_covered']:.1f}% | {r['wall_s']} |")
+            f"{100*r['success_rate_lidar_covered']:.1f}% | {r['wall_s']} | "
+            f"{r.get('wall_cold_s', '—')} |")
     lines += [
         "",
         "## Config 3 — VO + sliding-window BA (landmark ablation)",
