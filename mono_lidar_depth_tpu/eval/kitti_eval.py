@@ -34,6 +34,50 @@ from ..vo.pose import estimate_pose_gn
 from ..vo.pose_graph import PoseGraph, optimize_pose_graph
 
 
+# Frames per stacked device program in the scanned eval drivers.
+# Bounds host RAM + HBM to O(chunk) frames — a full 4541-frame KITTI
+# sequence host-stacked at once would be ~19 GB of clouds + images.
+# Sequences up to one chunk (incl. the committed 220-frame record)
+# still compile exactly one program; longer ones compile at most three
+# shapes (first chunk, full chunk, tail) and dispatch once per chunk.
+_CHUNK_FRAMES = 256
+
+
+def _load_payload(seq: KittiSequence, cfg: DepthEstimatorConfig,
+                  f: int, xyzi, count, use_semantics: bool):
+    """The ONE per-frame payload protocol (padded cloud, [0,1]
+    grayscale image, int32 semantic labels) shared by the streaming
+    generator and the chunked/scanned eval drivers — keeping it single
+    guarantees their bit-parity."""
+    cloud, cvalid = pad_cloud(xyzi, count, cfg.max_points)
+    img = seq.image(f)
+    if img is None:
+        raise FileNotFoundError(
+            f"sequence {seq.sequence} has no image_0 data")
+    img = img.astype(np.float32) / 255.0
+    sem = None
+    if use_semantics:
+        sem = seq.semantic(f)
+        if sem is None:
+            raise FileNotFoundError(
+                f"sequence {seq.sequence} has no semantic_0 data "
+                f"(frame {f}) — semantic plane mode needs it")
+        sem = sem.astype(np.int32)
+    return cloud, cvalid, img, sem
+
+
+def _key_chain(n: int) -> np.ndarray:
+    """[n-1, 2] PRNG keys, one split per PROCESSED frame (frames
+    1..n-1) — the exact prev_key evolution of _frame_inputs."""
+    key = jax.random.PRNGKey(0)
+    keys = []
+    for _ in range(n - 1):
+        key, sub = jax.random.split(key)
+        keys.append(np.asarray(sub))
+    return (np.stack(keys) if keys
+            else np.zeros((0, 2), np.uint32))
+
+
 def _frame_inputs(seq: KittiSequence, cfg: DepthEstimatorConfig,
                   max_frames: Optional[int] = None,
                   prime: Optional[list] = None,
@@ -53,20 +97,11 @@ def _frame_inputs(seq: KittiSequence, cfg: DepthEstimatorConfig,
     for f, (xyzi, count) in enumerate(scans):
         if f >= n:
             break
-        cloud, cvalid = pad_cloud(xyzi, count, cfg.max_points)
-        img = seq.image(f)
-        if img is None:
-            raise FileNotFoundError(
-                f"sequence {seq.sequence} has no image_0 data")
-        sem = None
-        if use_semantics:
-            sem = seq.semantic(f)
-            if sem is None:
-                raise FileNotFoundError(
-                    f"sequence {seq.sequence} has no semantic_0 data "
-                    f"(frame {f}) — semantic plane mode needs it")
-            sem = jnp.asarray(sem.astype(np.int32))
-        jimg = jnp.asarray(img.astype(np.float32) / 255.0)
+        cloud, cvalid, img, sem = _load_payload(
+            seq, cfg, f, xyzi, count, use_semantics)
+        if sem is not None:
+            sem = jnp.asarray(sem)
+        jimg = jnp.asarray(img)
         if tracker_state is None:
             tracker_state = init_tracker(jimg, cfg.max_features,
                                          levels=pyramid_levels)
@@ -83,91 +118,93 @@ def _frame_inputs(seq: KittiSequence, cfg: DepthEstimatorConfig,
             stamp=jnp.asarray(stamp), rng=sub, semantic=sem), f
 
 
-def _stack_sequence(seq: KittiSequence, cfg: DepthEstimatorConfig,
-                    max_frames: Optional[int], use_semantics: bool):
-    """Host-stack a sequence into dense per-frame arrays for the
-    scanned eval drivers: frame 0 is the tracker-init / state-prime
-    frame, frames 1..n-1 are the scan body's inputs.  Matches
-    `_frame_inputs`' per-frame payloads exactly (incl. the PRNG split
-    chain), but with ONE host→device transfer and ONE device program
-    for the whole sequence instead of per-frame dispatch — the
-    per-frame eval loop was latency-bound at ~8 fps on the remote TPU
-    (~0.12 s/frame of dispatch round-trips) while the same math scans
-    at >100 fps (bench.py), PARITY_r2's 550 s config-2 anomaly."""
+def _stack_chunks(seq: KittiSequence, cfg: DepthEstimatorConfig,
+                  max_frames: Optional[int], use_semantics: bool,
+                  chunk: Optional[int] = None):
+    """Yield a sequence as dense per-frame chunks for the scanned eval
+    drivers: dicts of host arrays covering frames [start, start+C).
+    Frame 0 (tracker-init / state-prime) rides in the first chunk.
+    Per-frame payloads come from `_load_payload` (the same protocol as
+    `_frame_inputs`, incl. the PRNG split chain); each chunk is ONE
+    host→device transfer and ONE device program instead of per-frame
+    dispatch — the per-frame eval loop was latency-bound at ~8 fps on
+    the remote TPU (~0.12 s/frame of dispatch round-trips) while the
+    same math scans at >100 fps (bench.py), PARITY_r2's 550 s config-2
+    anomaly.  keys[k] belongs to frame start+k (frame 0's slot is a
+    dummy — frame 0 is never a scan step)."""
+    if chunk is None:
+        chunk = _CHUNK_FRAMES  # resolved at call time (tests override)
     n = len(seq) if max_frames is None else min(len(seq), max_frames)
+    stamps_all = (np.asarray(seq.times[:n], np.float32)
+                  if seq.times is not None
+                  else np.arange(n, dtype=np.float32))
+    keys_all = np.concatenate(
+        [np.zeros((1, 2), np.uint32), _key_chain(n).astype(np.uint32)])
     imgs, clouds, cvalids, sems = [], [], [], []
+    start = 0
+
+    def flush(stop):
+        out = {
+            "images": np.stack(imgs),
+            "clouds": np.stack(clouds),
+            "cvalids": np.stack(cvalids),
+            "sems": np.stack(sems) if use_semantics else None,
+            "stamps": stamps_all[start:stop],
+            "keys": keys_all[start:stop],
+        }
+        imgs.clear(), clouds.clear(), cvalids.clear(), sems.clear()
+        return out
+
     for f, (xyzi, count) in enumerate(seq.scans(cfg.max_points)):
         if f >= n:
             break
-        cloud, cvalid = pad_cloud(xyzi, count, cfg.max_points)
-        img = seq.image(f)
-        if img is None:
-            raise FileNotFoundError(
-                f"sequence {seq.sequence} has no image_0 data")
-        imgs.append(img.astype(np.float32) / 255.0)
+        cloud, cvalid, img, sem = _load_payload(
+            seq, cfg, f, xyzi, count, use_semantics)
+        imgs.append(img)
         clouds.append(cloud)
         cvalids.append(cvalid)
         if use_semantics:
-            sem = seq.semantic(f)
-            if sem is None:
-                raise FileNotFoundError(
-                    f"sequence {seq.sequence} has no semantic_0 data "
-                    f"(frame {f}) — semantic plane mode needs it")
-            sems.append(sem.astype(np.int32))
-    n = len(imgs)
-    if seq.times is not None:
-        stamps = np.asarray(seq.times[:n], np.float32)
-    else:
-        stamps = np.arange(n, dtype=np.float32)
-    # PRNG chain: one split per PROCESSED frame (frames 1..n-1),
-    # identical to _frame_inputs' prev_key evolution.
-    key = jax.random.PRNGKey(0)
-    keys = []
-    for _ in range(n - 1):
-        key, sub = jax.random.split(key)
-        keys.append(sub)
-    return {
-        "images": jnp.asarray(np.stack(imgs)),
-        "clouds": jnp.asarray(np.stack(clouds)),
-        "cvalids": jnp.asarray(np.stack(cvalids)),
-        "sems": jnp.asarray(np.stack(sems)) if use_semantics else None,
-        "stamps": jnp.asarray(stamps),
-        "keys": jnp.stack(keys) if keys else jnp.zeros((0, 2), jnp.uint32),
-    }, n
+            sems.append(sem)
+        if len(imgs) == chunk:
+            yield flush(f + 1), start
+            start = f + 1
+    if imgs:
+        yield flush(start + len(imgs)), start
 
 
-@partial(jax.jit, static_argnames=("cfg", "camera", "pyramid_levels",
-                                   "with_sem"))
-def _scan_depth_eval(cfg, camera, lidar_to_cam, state0, arrs,
-                     pyramid_levels: int = 4, with_sem: bool = False):
-    """Whole-sequence depth association as one device program."""
-    sem0 = arrs["sems"][0] if with_sem else None
-    state0 = prime_state(cfg, camera, lidar_to_cam, state0,
-                         arrs["clouds"][0], arrs["cvalids"][0],
-                         jax.random.PRNGKey(1234), semantic=sem0)
-    tracker0 = init_tracker(arrs["images"][0], cfg.max_features,
-                            levels=pyramid_levels)
+def _chunk_xs(arrs, skip_first: bool, with_sem: bool):
+    """Scan-step inputs for one chunk (device arrays); skip_first drops
+    the tracker-init/prime frame of the first chunk."""
+    s = 1 if skip_first else 0
+    xs = {"img": jnp.asarray(arrs["images"][s:]),
+          "cloud": jnp.asarray(arrs["clouds"][s:]),
+          "cvalid": jnp.asarray(arrs["cvalids"][s:]),
+          "stamp": jnp.asarray(arrs["stamps"][s:]),
+          "key": jnp.asarray(arrs["keys"][s:])}
+    if with_sem:
+        xs["sem"] = jnp.asarray(arrs["sems"][s:])
+    return xs
 
-    def step(carry, xs):
+
+@partial(jax.jit, static_argnames=("cfg", "camera", "with_sem"))
+def _scan_depth_chunk(cfg, camera, lidar_to_cam, carry, xs,
+                      with_sem: bool = False):
+    """One chunk of frames of depth association as one device program."""
+    def step(carry, x):
         tstate, dstate = carry
-        tstate, out = track_frame(tstate, xs["img"])
+        tstate, out = track_frame(tstate, x["img"])
         frame = FrameInput(
-            cloud=xs["cloud"], cloud_valid=xs["cvalid"],
+            cloud=x["cloud"], cloud_valid=x["cvalid"],
             ids=out.ids, ids_valid=out.valid,
             uv_new=out.uv_new, uv_prev=out.uv_prev,
-            stamp=xs["stamp"], rng=xs["key"],
-            semantic=xs["sem"] if with_sem else None)
+            stamp=x["stamp"], rng=x["key"],
+            semantic=x["sem"] if with_sem else None)
         dstate, _, _ = process_frame(cfg, camera, lidar_to_cam, dstate,
                                      frame)
         return (tstate, dstate), None
 
-    xs = {"img": arrs["images"][1:], "cloud": arrs["clouds"][1:],
-          "cvalid": arrs["cvalids"][1:], "stamp": arrs["stamps"][1:],
-          "key": arrs["keys"]}
-    if with_sem:
-        xs["sem"] = arrs["sems"][1:]
-    (_, dstate), _ = jax.lax.scan(step, (tracker0, state0), xs)
-    return dstate.counters
+    carry, _ = jax.lax.scan(step, carry, xs)
+    return carry
 
 
 def eval_depth_sequence(seq: KittiSequence, cfg: DepthEstimatorConfig,
@@ -183,11 +220,25 @@ def eval_depth_sequence(seq: KittiSequence, cfg: DepthEstimatorConfig,
     if plane_mode not in ("ransac", "semantic"):
         raise ValueError(f"unknown plane_mode {plane_mode!r}")
     with_sem = plane_mode == "semantic"
-    arrs, n = _stack_sequence(seq, cfg, max_frames, with_sem)
-    state = TrackletDepthState.create(cfg, max_tracks, max_length)
-    counters = _scan_depth_eval(cfg, seq.calib.camera,
-                                seq.calib.lidar_to_cam, state, arrs,
-                                with_sem=with_sem)
+    cam, l2c = seq.calib.camera, seq.calib.lidar_to_cam
+    carry = None
+    n = 0
+    for arrs, start in _stack_chunks(seq, cfg, max_frames, with_sem):
+        n = start + len(arrs["images"])
+        if carry is None:
+            sem0 = jnp.asarray(arrs["sems"][0]) if with_sem else None
+            state = TrackletDepthState.create(cfg, max_tracks, max_length)
+            state = prime_state(cfg, cam, l2c, state,
+                                jnp.asarray(arrs["clouds"][0]),
+                                jnp.asarray(arrs["cvalids"][0]),
+                                jax.random.PRNGKey(1234), semantic=sem0)
+            tracker = init_tracker(jnp.asarray(arrs["images"][0]),
+                                   cfg.max_features, levels=4)
+            carry = (tracker, state)
+        carry = _scan_depth_chunk(cfg, cam, l2c, carry,
+                                  _chunk_xs(arrs, start == 0, with_sem),
+                                  with_sem=with_sem)
+    counters = carry[1].counters
     frames = n - 1
     stats = DepthCalcStats.zeros()
     stats = stats._replace(accumulated=counters, frames=jnp.int32(frames))
@@ -199,35 +250,23 @@ def eval_depth_sequence(seq: KittiSequence, cfg: DepthEstimatorConfig,
     return out
 
 
-@partial(jax.jit, static_argnames=("cfg", "ocfg", "camera",
-                                   "pyramid_levels"))
-def _scan_vo_eval(cfg, ocfg, camera, lidar_to_cam, state0, arrs,
-                  pyramid_levels: int = 4):
-    """Whole-sequence VO + window BA as one device program; returns
-    per-frame (R_cw [F,3,3], t_cw [F,3], diag [F,3])."""
-    state0 = state0._replace(tracklets=prime_state(
-        cfg, camera, lidar_to_cam, state0.tracklets,
-        arrs["clouds"][0], arrs["cvalids"][0], jax.random.PRNGKey(1234)))
-    tracker0 = init_tracker(arrs["images"][0], cfg.max_features,
-                            levels=pyramid_levels)
-
-    def step(carry, xs):
+@partial(jax.jit, static_argnames=("cfg", "ocfg", "camera"))
+def _scan_vo_chunk(cfg, ocfg, camera, lidar_to_cam, carry, xs):
+    """One chunk of frames of VO + window BA as one device program;
+    returns per-frame (R_cw [C,3,3], t_cw [C,3], diag [C,3])."""
+    def step(carry, x):
         tstate, ostate = carry
-        tstate, out = track_frame(tstate, xs["img"])
+        tstate, out = track_frame(tstate, x["img"])
         frame = FrameInput(
-            cloud=xs["cloud"], cloud_valid=xs["cvalid"],
+            cloud=x["cloud"], cloud_valid=x["cvalid"],
             ids=out.ids, ids_valid=out.valid,
             uv_new=out.uv_new, uv_prev=out.uv_prev,
-            stamp=xs["stamp"], rng=xs["key"])
+            stamp=x["stamp"], rng=x["key"])
         ostate, R_cw, t_cw, diag = odometry_step(
             cfg, ocfg, camera, lidar_to_cam, ostate, frame)
         return (tstate, ostate), (R_cw, t_cw, diag)
 
-    xs = {"img": arrs["images"][1:], "cloud": arrs["clouds"][1:],
-          "cvalid": arrs["cvalids"][1:], "stamp": arrs["stamps"][1:],
-          "key": arrs["keys"]}
-    _, (R, t, diag) = jax.lax.scan(step, (tracker0, state0), xs)
-    return R, t, diag
+    return jax.lax.scan(step, carry, xs)
 
 
 def eval_vo_sequence(seq: KittiSequence, cfg: DepthEstimatorConfig,
@@ -236,12 +275,31 @@ def eval_vo_sequence(seq: KittiSequence, cfg: DepthEstimatorConfig,
                      max_tracks: int = 2048, max_length: int = 12,
                      verbose: bool = True) -> dict:
     """Config 3: full VO + sliding-window BA; ATE/RPE vs ground truth."""
-    arrs, n = _stack_sequence(seq, cfg, max_frames, use_semantics=False)
-    state = OdometryState.create(cfg, ocfg, max_tracks, max_length)
-    R, t, diag = _scan_vo_eval(cfg, ocfg, seq.calib.camera,
-                               seq.calib.lidar_to_cam, state, arrs)
-    R = np.asarray(R)
-    t = np.asarray(t)
+    cam, l2c = seq.calib.camera, seq.calib.lidar_to_cam
+    carry = None
+    n = 0
+    Rs, ts, diags = [], [], []
+    for arrs, start in _stack_chunks(seq, cfg, max_frames,
+                                     use_semantics=False):
+        n = start + len(arrs["images"])
+        if carry is None:
+            state = OdometryState.create(cfg, ocfg, max_tracks, max_length)
+            state = state._replace(tracklets=prime_state(
+                cfg, cam, l2c, state.tracklets,
+                jnp.asarray(arrs["clouds"][0]),
+                jnp.asarray(arrs["cvalids"][0]), jax.random.PRNGKey(1234)))
+            tracker = init_tracker(jnp.asarray(arrs["images"][0]),
+                                   cfg.max_features, levels=4)
+            carry = (tracker, state)
+        carry, (Rc, tc, dc) = _scan_vo_chunk(
+            cfg, ocfg, cam, l2c, carry,
+            _chunk_xs(arrs, start == 0, with_sem=False))
+        Rs.append(np.asarray(Rc))
+        ts.append(np.asarray(tc))
+        diags.append(np.asarray(dc))
+    R = np.concatenate(Rs)
+    t = np.concatenate(ts)
+    diag = np.concatenate(diags)
     F = R.shape[0]
     poses = np.tile(np.eye(4), (F, 1, 1))
     poses[:, :3, :3] = R.transpose(0, 2, 1)
@@ -283,13 +341,17 @@ def propose_loop_closures(poses: np.ndarray, min_gap: int = 100,
     positions are ESTIMATED, and VO error grows with distance traveled
     (typically 1-3%), so a fixed radius proposes nothing exactly when
     closures matter most (high drift).  If a pass still proposes
-    nothing, drift_frac escalates ×2 (up to 100% of path length) and
-    the heading tolerance widens with it (rotational drift corrupts
-    the estimated relative heading just like positional drift corrupts
-    distances): geometric verification downstream rejects false
-    candidates, so over-proposing is cheap; failing open is not.
-    Each accepted j emits up to its 3 closest partners — under drift
-    the single closest estimated i is often the WRONG revisit."""
+    nothing, drift_frac escalates ×2 and the heading tolerance widens
+    with it (rotational drift corrupts the estimated relative heading
+    just like positional drift corrupts distances) — but escalation is
+    CAPPED at 20% of path length / 90° heading: beyond ~20% drift a
+    "nearby" estimate carries no revisit information, and an uncapped
+    escalation would manufacture candidates on any curved loop-FREE
+    trajectory (a circular arc's chord is always shorter than its
+    path), burning a verification round trip per spurious pair and
+    raising the odds one falsely verifies.  Each accepted j emits up
+    to its 3 closest partners — under drift the single closest
+    estimated i is often the WRONG revisit."""
     poses = np.asarray(poses)
     if poses.ndim == 3:
         positions = poses[:, :3, 3]
@@ -326,22 +388,23 @@ def propose_loop_closures(poses: np.ndarray, min_gap: int = 100,
                 break
         return cands[:max_candidates]
 
+    max_frac, max_heading = 0.20, 90.0
     frac = drift_frac
     heading_tol = max_heading_deg
     while True:
         cands = scan(frac, heading_tol)
-        if cands or frac >= 1.0:
+        if cands or frac >= max_frac:
             return cands
-        frac = min(2.0 * frac, 1.0)
-        heading_tol = min(2.0 * heading_tol, 180.0)
+        frac = min(2.0 * frac, max_frac)
+        heading_tol = min(2.0 * heading_tol, max_heading)
 
 
 def filter_consistent_closures(poses: np.ndarray,
                                closures: list[tuple],
                                rot_tol_deg: float = 3.0,
                                trans_tol_m: float = 0.5,
-                               drift_frac: float = 0.02
-                               ) -> list[tuple]:
+                               drift_frac: float = 0.02,
+                               remeasure=None) -> list[tuple]:
     """Pairwise-consistency filtering of loop-closure measurements
     (PCM-lite): keep the largest mutually consistent subset.
 
@@ -357,11 +420,97 @@ def filter_consistent_closures(poses: np.ndarray,
     other even under heavy global drift, while a mis-registration
     agrees with nothing.  Tolerances grow with the cycle's odometry
     path length (drift_frac).  Greedy max-clique over the consistency
-    graph (closure counts are tiny); a lone closure passes through
-    unfiltered (nothing to check it against)."""
-    if len(closures) <= 1:
-        return closures
+    graph (closure counts are tiny).
+
+    A LONE closure has no peer to agree with, and it previously went
+    to the backend unchecked — exactly the class this filter exists
+    for (one confidently-wrong KLT mis-registration corrupted a 0.45 m
+    trajectory to 2.5 m when it happened to be the only closure).  Two
+    nets, in preference order:
+
+    * With `remeasure` (a callable (a, b) -> (Z_R, Z_t[, w6]) or None
+      returning the measured relative pose T_a⁻¹T_b, e.g.
+      closure_constraint_from_frames bound to the sequence): MAKE a
+      peer — measure the short hop Z_{i,i±Δ} (a near-trivial
+      small-baseline registration) and a support closure Z_{i±Δ,j},
+      and demand cycle consistency Z_ij ≈ Z_{i,i±Δ}·Z_{i±Δ,j}.  The
+      cycle is built ENTIRELY from measurements — odometry (and
+      therefore drift, however large) never enters — so the tolerance
+      stays measurement-tight in every regime, and a mis-registration
+      onto repeating structure has to reproduce coherently at a
+      multi-meter-shifted baseline to slip through.  If the lone
+      closure fails its cycle but two INDEPENDENT chains (different
+      shifted endpoints, no shared measurement) agree with each other,
+      the bad closure is replaced by one chain's edges — measured on
+      the synthetic loop: a lone verified closure 3.5 m off ground
+      truth (overconfident GN covariance, w6 all 1.0) was rejected
+      while the replacement chain was 0.39 m / 0.9° from truth.
+    * Without `remeasure`: check against the odometry chain between
+      the endpoints under a generous drift allowance (10% of path
+      translation, 0.25°/m rotation) — passes plausible real VO drift,
+      rejects the measured mis-registration class (7.8 m / 30° over a
+      ~40 m path).  Drift beyond the allowance also drops a lone TRUE
+      closure: the fail-closed choice — config 4 reverts to plain VO
+      rather than gambling the trajectory on one unverifiable
+      measurement."""
     poses = np.asarray(poses, np.float64)
+    if len(closures) == 0:
+        return closures
+    if len(closures) == 1:
+        i, j = closures[0][0], closures[0][1]
+        Za = np.eye(4)
+        Za[:3, :3] = np.asarray(closures[0][2], np.float64)
+        Za[:3, 3] = np.asarray(closures[0][3], np.float64)
+        seg1 = np.linalg.norm(np.diff(poses[:, :3, 3], axis=0), axis=1)
+        s1 = np.concatenate([[0.0], np.cumsum(seg1)])
+
+        def rel1(a, b):
+            return np.linalg.inv(poses[a]) @ poses[b]
+
+        def angle_deg(R):
+            return np.degrees(np.arccos(np.clip(
+                (np.trace(R) - 1) / 2, -1, 1)))
+
+        if remeasure is not None:
+            def as_T4(z):
+                T = np.eye(4)
+                T[:3, :3] = np.asarray(z[0], np.float64)
+                T[:3, 3] = np.asarray(z[1], np.float64)
+                return T
+
+            def agree(Ta, Tb):
+                E = np.linalg.inv(Ta) @ Tb
+                return (angle_deg(E[:3, :3]) <= 2.0 * rot_tol_deg
+                        and np.linalg.norm(E[:3, 3]) <= 2.0 * trans_tol_m)
+
+            chains = []  # (pred T_i⁻¹T_j, replacement edges)
+            for side, delta in (("i", 4), ("i", -4), ("j", 4), ("j", -4)):
+                # shifted endpoint: the cycle is i -> mid -> j
+                mid = (i + delta) if side == "i" else (j + delta)
+                if not (0 <= mid < len(poses)) or abs(j - mid) < 2 \
+                        or abs(mid - i) < 2:
+                    continue
+                z1 = remeasure(i, mid)  # hop or shifted support
+                z2 = remeasure(mid, j)
+                if z1 is None or z2 is None:
+                    continue
+                pred = as_T4(z1) @ as_T4(z2)  # measurement-only cycle
+                if agree(Za, pred):
+                    return closures  # lone closure corroborated
+                chains.append((pred, [(i, mid, *z1), (mid, j, *z2)]))
+            # Lone closure corroborated by nothing — if two independent
+            # chains corroborate EACH OTHER, trust them instead.
+            for ca in range(len(chains)):
+                for cb in range(ca + 1, len(chains)):
+                    if agree(chains[ca][0], chains[cb][0]):
+                        return chains[ca][1]
+            return []
+        E = np.linalg.inv(Za) @ rel1(i, j)
+        path = float(abs(s1[j] - s1[i]))
+        if (angle_deg(E[:3, :3]) <= rot_tol_deg + 0.25 * path
+                and np.linalg.norm(E[:3, 3]) <= trans_tol_m + 0.10 * path):
+            return closures
+        return []
     seg = np.linalg.norm(np.diff(poses[:, :3, 3], axis=0), axis=1)
     s = np.concatenate([[0.0], np.cumsum(seg)])
 
@@ -410,8 +559,8 @@ def run_pose_graph_backend(poses: np.ndarray,
                            odom_sigma_t: float = 0.06,
                            odom_sigma_rot_deg: float = 1.0,
                            gn_iters: int = 10, cg_iters: int = 80,
-                           consistency_filter: bool = True
-                           ) -> np.ndarray:
+                           consistency_filter: bool = True,
+                           remeasure=None) -> np.ndarray:
     """Config 4: optimize a trajectory with odometry-chain edges plus
     loop-closure edges.
 
@@ -430,7 +579,11 @@ def run_pose_graph_backend(poses: np.ndarray,
         weights share one information scale (weight 1 ≡ σ_t = 0.1 m /
         σ_rot = 0.01 rad — the reference sigmas of the closure
         confidences), so odometry and closure edges are balanced by
-        MEASURED noise rather than a hand-picked ratio.  The defaults
+        MEASURED noise rather than a hand-picked ratio.
+      remeasure: optional (i, j) -> (Z_R, Z_t[, w6]) | None callback
+        used by the consistency filter to manufacture a support
+        measurement when exactly one closure verified (see
+        filter_consistent_closures).  The defaults
         are this pipeline's measured per-frame RPE on the synthetic
         loop (trans RMSE 0.06 m, rot RMSE ~1-1.6°); a fixed 20x closure
         boost over-weighted closures ~50x against that and made the
@@ -441,7 +594,8 @@ def run_pose_graph_backend(poses: np.ndarray,
     """
     closures = list(closures)
     if consistency_filter:
-        closures = filter_consistent_closures(poses, closures)
+        closures = filter_consistent_closures(poses, closures,
+                                              remeasure=remeasure)
     F = len(poses)
     R = poses[:, :3, :3].astype(np.float32)
     t = poses[:, :3, 3].astype(np.float32)

@@ -82,6 +82,12 @@ class OdometryState(NamedTuple):
     # by the tracker invalidates the persisted estimate)
     lm_world: jnp.ndarray  # [L, 3]
     lm_id: jnp.ndarray  # [L] int32 track id, -1 = empty
+    # True once a motion solve has been ACCEPTED — until then rel_t is
+    # "unknown", not "measured zero", and the acceleration gate must
+    # not bind (a first frame moving faster than accel_gate_m would
+    # otherwise be rejected against the zero prior forever, freezing
+    # the trajectory at the origin)
+    motion_ok: jnp.ndarray  # scalar bool
 
     @classmethod
     def create(cls, cfg: DepthEstimatorConfig, ocfg: OdometryConfig,
@@ -96,7 +102,8 @@ class OdometryState(NamedTuple):
             rel_R=jnp.eye(3, dtype=jnp.float32),
             rel_t=jnp.zeros(3, jnp.float32),
             lm_world=jnp.zeros((max_tracks, 3), jnp.float32),
-            lm_id=jnp.full((max_tracks,), -1, jnp.int32))
+            lm_id=jnp.full((max_tracks,), -1, jnp.int32),
+            motion_ok=jnp.asarray(False))
 
 
 @partial(jax.jit, static_argnames=("cfg", "ocfg", "camera"))
@@ -181,9 +188,15 @@ def _odometry_tail(cfg, ocfg, camera, state, tl_state, depths, codes):
     # (3x the inlier floor at sub-pixel error) overrides it — otherwise
     # a stale constant-velocity model after a long coast could reject a
     # genuine recovery forever.
+    # Until the first ACCEPTED motion, the zero rel_t prior is
+    # "unknown", not "measured stationary" — the gate must not bind or
+    # a sequence entering faster than accel_gate_m per frame would
+    # coast at identity forever (rel_t never updates, so the same
+    # rejection repeats every frame).
     gate = jnp.maximum(ocfg.accel_gate_m,
                        0.5 * jnp.linalg.norm(state.rel_t))
-    plausible = jnp.linalg.norm(est.translation - state.rel_t) <= gate
+    plausible = ((~state.motion_ok)
+                 | (jnp.linalg.norm(est.translation - state.rel_t) <= gate))
     confident = ((est.num_inliers >= 3 * ocfg.min_motion_tracks)
                  & (est.mean_error <= 0.8))
     enough = ((est.num_inliers >= ocfg.min_motion_tracks)
@@ -272,7 +285,8 @@ def _odometry_tail(cfg, ocfg, camera, state, tl_state, depths, codes):
         win_R=ba_R, win_t=ba_t, win_valid=win_valid,
         frame_idx=state.frame_idx + 1,
         rel_R=R_rel, rel_t=t_rel,
-        lm_world=lm_world_out, lm_id=lm_id_out)
+        lm_world=lm_world_out, lm_id=lm_id_out,
+        motion_ok=state.motion_ok | enough)
     diag = jnp.stack([n_usable.astype(jnp.float32),
                       est.num_inliers.astype(jnp.float32),
                       est.mean_error])

@@ -74,7 +74,7 @@ def main() -> None:
                                            propose_loop_closures,
                                            run_pose_graph_backend)
     from mono_lidar_depth_tpu.eval.kitti_eval import (
-        closure_constraint_from_frames)
+        closure_constraint_from_frames, filter_consistent_closures)
     from mono_lidar_depth_tpu.io.kitti import KittiSequence
     from mono_lidar_depth_tpu.io.synthetic_dataset import (
         SyntheticSpec, generate_kitti_sequence)
@@ -180,14 +180,27 @@ def main() -> None:
             closures.append((i, j, *z))
     gt = seq.gt_poses[vo["frame_ids"]]
     ate_vo = float(ate_rmse(poses[:, :3, 3], gt[:, :3, 3]))
-    if closures:
-        opt = run_pose_graph_backend(poses, closures)
+    # Apply the consistency filter HERE so the record reports the
+    # count of closures the backend actually used — the backend's
+    # internal filtering would otherwise silently shrink the set after
+    # `closures_verified` was recorded.
+    def _remeasure(a, b):
+        return closure_constraint_from_frames(
+            seq, cfg, vo["frame_ids"][a], vo["frame_ids"][b],
+            max_features=cfg.max_features)
+
+    used = filter_consistent_closures(poses, closures,
+                                      remeasure=_remeasure)
+    if used:
+        opt = run_pose_graph_backend(poses, used,
+                                     consistency_filter=False)
         ate_pg = float(ate_rmse(opt[:, :3, 3], gt[:, :3, 3]))
     else:
         ate_pg = float("nan")
     rec["pose_graph"] = {
         "closures_proposed": len(cands),
         "closures_verified": len(closures),
+        "closures_used": len(used),
         "ate_vo_m": round(ate_vo, 3),
         "ate_posegraph_m": round(ate_pg, 3)}
     print("   ", json.dumps(rec["pose_graph"]), flush=True)
@@ -311,15 +324,17 @@ def _render_md(rec: dict, tag: str) -> str:
         "## Config 4 — pose-graph backend",
         "",
         f"Loop closures: {pg['closures_verified']} verified of "
-        f"{pg['closures_proposed']} proposed (drift-aware radius).  "
+        f"{pg['closures_proposed']} proposed (drift-aware radius); "
+        f"{pg.get('closures_used', pg['closures_verified'])} survived "
+        "consistency filtering and reached the backend.  "
         f"ATE RMSE: **{pg['ate_vo_m']} m (VO) → {pg['ate_posegraph_m']} m "
         "(pose graph)**.",
     ]
-    if pg["closures_verified"] == 0:
+    if pg.get("closures_used", pg["closures_verified"]) == 0:
         lines += ["",
-                  "NOTE: zero closures verified — the pose-graph column "
-                  "is not evaluable on this run (recorded as such, not "
-                  "wallpapered)."]
+                  "NOTE: zero closures reached the backend — the "
+                  "pose-graph column is not evaluable on this run "
+                  "(recorded as such, not wallpapered)."]
     sweep = rec.get("density_sweep", [])
     if sweep and "lidar_rows" in sweep[0]:
         lines += [

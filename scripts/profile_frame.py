@@ -67,9 +67,11 @@ def main():
             acc, _ = jax.lax.scan(step, acc, (clouds, valids, feats, fvalid, keys))
         return acc
 
-    jax.block_until_ready(many(clouds, valids, feats, fvalid, keys))
+    # host fetch of the scalar checksum: block_until_ready is not a
+    # real sync on the remote tunneled backend.
+    np.asarray(many(clouds, valids, feats, fvalid, keys))
     t0 = time.perf_counter()
-    jax.block_until_ready(many(clouds, valids, feats, fvalid, keys))
+    np.asarray(many(clouds, valids, feats, fvalid, keys))
     dt = time.perf_counter() - t0
     n = n_frames * 4
     print(f"full frame: {dt/n*1e3:.3f} ms  -> {n/dt:.1f} frames/s")

@@ -19,10 +19,15 @@ from mono_lidar_depth_tpu.vo.pose import estimate_pose_gn
 
 
 def timeit(label, jitted, *args, n=24):
-    out = jitted(*args)
-    jax.block_until_ready(out)
+    def sync(out):
+        # 4-byte host fetch: block_until_ready is not a real sync on
+        # the remote tunneled backend (and fetching a large leaf would
+        # add tunnel transfer time to the measurement).
+        np.asarray(jnp.sum(jax.tree.leaves(out)[0]))
+
+    sync(jitted(*args))
     t0 = time.perf_counter()
-    jax.block_until_ready(jitted(*args))
+    sync(jitted(*args))
     dt = (time.perf_counter() - t0) / n
     print(f"{label}: {dt*1e3:.2f} ms/frame")
 

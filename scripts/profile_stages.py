@@ -27,9 +27,11 @@ def scan_time(label, step_fn, xs, n):
         acc, _ = jax.lax.scan(step, jnp.float32(0), xs)
         return acc
 
-    jax.block_until_ready(many(xs))
+    # host fetch of the scalar checksum: block_until_ready is not a
+    # real sync on the remote tunneled backend.
+    np.asarray(many(xs))
     t0 = time.perf_counter()
-    jax.block_until_ready(many(xs))
+    np.asarray(many(xs))
     dt = (time.perf_counter() - t0) / n
     print(f"{label}: {dt*1e3:.2f} ms")
 

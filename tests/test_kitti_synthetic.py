@@ -180,7 +180,16 @@ def test_posegraph_closure_under_high_drift(tmp_path_factory):
         if z is not None:
             closures.append((i, j, *z))
     assert len(closures) >= 1, (cands, "no closure verified")
-    opt = run_pose_graph_backend(drifted, closures)
+
+    # A lone verified closure is only trusted with peer support — the
+    # filter re-measures a shifted-endpoint constraint through this
+    # callback (drift-independent cycle check).
+    def remeasure(a, b):
+        return closure_constraint_from_frames(
+            seq, cfg, vo["frame_ids"][a], vo["frame_ids"][b],
+            max_features=cfg.max_features)
+
+    opt = run_pose_graph_backend(drifted, closures, remeasure=remeasure)
     ate_pg = ate_rmse(opt[:, :3, 3], gt[:, :3, 3])
     assert np.isfinite(ate_pg)
     assert ate_pg < 0.7 * ate_drift, (ate_drift, ate_pg)

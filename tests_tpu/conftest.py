@@ -23,7 +23,14 @@ except RuntimeError:
 
 
 def pytest_collection_modifyitems(config, items):
-    if jax.default_backend() == "cpu":
+    try:
+        backend = jax.default_backend()
+    except RuntimeError:
+        # No axon plugin on this host at all — default_backend() itself
+        # raises during initialization, which would otherwise error out
+        # collection instead of skipping.
+        backend = "cpu"
+    if backend == "cpu":
         skip = pytest.mark.skip(reason="TPU tier needs a TPU backend")
         for item in items:
             item.add_marker(skip)
