@@ -41,12 +41,21 @@ def save_checkpoint(path: str, state: Any, metadata: dict | None = None
         raise
 
 
-def load_checkpoint(path: str, like: Any) -> tuple[Any, dict]:
+def load_checkpoint(path: str, like: Any,
+                    allow_missing_trailing: bool = False) -> tuple[Any, dict]:
     """Restore a pytree saved by save_checkpoint.
 
     `like` provides the tree structure (e.g. a freshly-created state of
     the same shape); leaf VALUES come from the file.  Shapes and dtypes
     are validated leaf-by-leaf.
+
+    State NamedTuples occasionally grow fields (e.g. OdometryState
+    gained `motion_ok`), which changes the leaf count and makes older
+    checkpoints fail the count check below (fail-loud by default).
+    `allow_missing_trailing=True` is the migration path for such
+    checkpoints: missing TRAILING leaves are defaulted from `like`
+    (correct when fields were appended; anything else still errors on
+    the per-leaf shape check).
 
     Returns (state, metadata).
     """
@@ -57,6 +66,9 @@ def load_checkpoint(path: str, like: Any) -> tuple[Any, dict]:
     for i in range(n):
         key = f"leaf_{i}"
         if key not in z:
+            if allow_missing_trailing:
+                leaves.extend(np.asarray(l) for l in leaves_like[i:])
+                break
             raise ValueError(
                 f"checkpoint has {len([k for k in z.files if k.startswith('leaf_')])} "
                 f"leaves, expected {n}")

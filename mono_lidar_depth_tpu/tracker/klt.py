@@ -159,6 +159,11 @@ def track_features(
 
     Returns (uv_next [N, 2], ok [N]).
     """
+    if patch % 2 != 1:
+        # _bilinear_patches / _lk_level center windows at
+        # r = (patch-1)//2, which silently shifts the grid for even
+        # patch sizes — the symmetric-window assumption is structural.
+        raise ValueError(f"patch size must be odd, got {patch}")
     uv_f, ok_f = _pyramidal(prev_pyr, next_pyr, uv, patch, iters, min_det,
                             guess=uv_guess)
     # backward pass: the expected landing point is the forward start

@@ -2,8 +2,8 @@
 // prefetching batch loader.
 //
 // TPU-native equivalent of the host-side data path the reference gets
-// from ROS + PCL (pointcloud deserialization in the TCPROS transport и
-// pcl::PointCloud container).  The hot path here is feeding the TPU:
+// from ROS + PCL (pointcloud deserialization in the TCPROS transport
+// and the pcl::PointCloud container).  The hot path here is feeding the TPU:
 // a KITTI velodyne scan is ~1.9 MB of float32 (x, y, z, intensity)
 // quadruples; this library memory-maps / streams them into
 // caller-provided padded buffers and runs a small reader thread pool so

@@ -1,6 +1,14 @@
 #!/usr/bin/env python
 """Localize TPU-vs-CPU VO divergence (VERDICT r2 item 1).
 
+HISTORICAL NOTE: the divergence this tool was built to chase (TPU ATE
+15.8 m vs CPU 2.1 m) was root-caused in r3 to bf16 cancellation in the
+6x6 Schur complement and fixed (DESIGN.md "r3 root cause"); the
+regression net lives in tests_tpu/test_tpu_parity.py.  The tool stays
+because the methodology (tracker-stream substitution to separate
+tracker- from geometry-induced divergence) is how any FUTURE
+backend-parity gap gets localized.
+
 Runs the synthetic-loop VO eval on one backend and dumps PER-FRAME
 streams (tracker outputs, depth-association outputs, pose-GN diag,
 poses) to an npz.  A second invocation with --frames-from reuses the
