@@ -28,7 +28,15 @@ def main() -> None:
     ap.add_argument("--config", default=None, help="parameters yaml path")
     ap.add_argument("--checkpoint", default=None,
                     help="npz checkpoint path to save/restore VO state")
+    ap.add_argument("--platform", default=None,
+                    help="'cpu' forces the CPU backend (the image's "
+                         "sitecustomize pins JAX_PLATFORMS; the env var "
+                         "alone cannot override it)")
     args = ap.parse_args()
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     from mono_lidar_depth_tpu import DepthEstimatorConfig
 
