@@ -50,6 +50,28 @@ def inv3(M: jnp.ndarray) -> jnp.ndarray:
     return adj * inv_det
 
 
+def inv6_spd(H: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form inverse of a symmetric positive-definite [6, 6] via
+    the same 3x3 block Schur structure as solve6_spd:
+
+        H = [[A, B], [Bt, C]]
+        H^-1 = [[Ai + AiB Mi AiB^T, -AiB Mi], [-(AiB Mi)^T, Mi]]
+
+    with M = C - B^T A^-1 B.  Used where the full inverse (not just one
+    solve) is needed — e.g. the pose-graph chain preconditioner stores
+    S_k^-1 for reuse across many CG applications."""
+    A = H[:3, :3]
+    B = H[:3, 3:]
+    C = H[3:, 3:]
+    Ai = inv3(A)
+    AiB = _mm(Ai, B)
+    M = C - _mm(B.T, AiB)
+    Mi = inv3(M)
+    AiBMi = _mm(AiB, Mi)
+    top_left = Ai + _mm(AiBMi, AiB.T)
+    return jnp.block([[top_left, -AiBMi], [-AiBMi.T, Mi]])
+
+
 def solve6_spd(H: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
     """Solve H x = g for symmetric positive-definite H [6, 6] via the
     3x3 block Schur complement.  H must be well-conditioned enough for
