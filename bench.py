@@ -108,15 +108,16 @@ def main() -> None:
     feats = jnp.asarray(uv_new)
     fvalid = jnp.ones((n_frames, M), dtype=bool)
 
-    def depth_frame(cloud, cvalid, uv, uvv, key):
+    def depth_frame(cloud, cvalid, uv, uvv, key, c=None):
+        c = c or cfg
         gp = fit_ground_plane_ransac(
             cloud, cvalid, key,
-            distance_threshold=cfg.ransac_plane_distance_treshold,
-            num_hypotheses=cfg.ransac_num_hypotheses,
-            subsample=cfg.ransac_subsample_points,
-            use_refinement=cfg.ransac_plane_use_refinement,
-            refinement_threshold=cfg.ransac_plane_refinement_treshold)
-        return estimate_depths(cfg, cam, T, cloud, cvalid, uv, uvv, gp)
+            distance_threshold=c.ransac_plane_distance_treshold,
+            num_hypotheses=c.ransac_num_hypotheses,
+            subsample=c.ransac_subsample_points,
+            use_refinement=c.ransac_plane_use_refinement,
+            refinement_threshold=c.ransac_plane_refinement_treshold)
+        return estimate_depths(c, cam, T, cloud, cvalid, uv, uvv, gp)
 
     # Timing integrity: on the remote tunneled backend,
     # jax.block_until_ready does NOT reliably force deferred execution
@@ -147,6 +148,30 @@ def main() -> None:
     dt = time.perf_counter() - t0
     depth_fps = n_frames * reps / dt
 
+    # ---- leg 1b: depth association, fast rasterization -----------------
+    # config.fast_rasterization: single-scatter frame ingest, <= 1 cm
+    # depth quantization; accuracy-neutral end-to-end (PARITY_r4
+    # config-2 fast row / DESIGN.md).  The default (exact) path stays
+    # the headline; this key records the production-mode throughput.
+    cfg_fast = cfg.replace(fast_rasterization=True)
+
+    @jax.jit
+    def run_depth_fast():
+        def step(acc, inp):
+            c, v, f, fv, k = inp
+            out = depth_frame(c, v, f, fv, k, cfg_fast)
+            s = (jnp.sum(out.depths) + jnp.sum(out.codes)
+                 + jnp.sum(out.counters)).astype(jnp.float32)
+            return acc + s, None
+        acc, _ = jax.lax.scan(step, jnp.float32(0),
+                              (clouds, valids, feats, fvalid, keys))
+        return acc
+
+    np.asarray(run_depth_fast())
+    t0 = time.perf_counter()
+    np.asarray(run_depth_fast())
+    depth_fast_fps = n_frames / (time.perf_counter() - t0)
+
     # ---- leg 2: full odometry step (depth assoc + pose GN + BA) --------
     ocfg = OdometryConfig()
     state0 = OdometryState.create(cfg, ocfg, max_tracks=M, max_length=12)
@@ -172,6 +197,29 @@ def main() -> None:
     np.asarray(acc)
     dt = time.perf_counter() - t0
     odo_fps = n_frames * reps / dt
+
+    # ---- leg 2b: full odometry with fast rasterization ------------------
+    state0_fast = OdometryState.create(cfg_fast, ocfg, max_tracks=M,
+                                       max_length=12)
+
+    @jax.jit
+    def run_odo_fast(state):
+        def step(carry, frame):
+            st, acc = carry
+            st, R_cw, t_cw, diag = odometry_step(
+                cfg_fast, ocfg, cam, T, st, frame)
+            acc = acc + (jnp.sum(R_cw) + jnp.sum(t_cw)
+                         + jnp.sum(diag)).astype(jnp.float32)
+            return (st, acc), None
+        carry, _ = jax.lax.scan(step, (state, jnp.float32(0)), frames)
+        return carry
+
+    sw, acc = run_odo_fast(state0_fast)
+    np.asarray(acc)
+    t0 = time.perf_counter()
+    _, acc = run_odo_fast(sw)
+    np.asarray(acc)
+    odo_fast_fps = n_frames / (time.perf_counter() - t0)
 
     # Dispatch-inclusive single-frame figure: ONE odometry step per
     # jitted call, so the fixed per-dispatch round trip of the remote
@@ -201,6 +249,62 @@ def main() -> None:
         np.asarray(t1)
     single_ms = (time.perf_counter() - t0) / n_single * 1e3
 
+    # ---- stage breakdown (regression canary) ---------------------------
+    # Same scan protocol, one leg per stage, so a stage-level perf
+    # regression shows up in the committed bench line (the r2 -> r3
+    # -6% combined drift was invisible in the two totals; see PERF.md
+    # for the per-round history).
+    from mono_lidar_depth_tpu.vo.ba import BAProblem, run_ba
+    from mono_lidar_depth_tpu.vo.pose import estimate_pose_gn
+
+    lm = jnp.asarray(rng.uniform([-20, -5, 5], [20, 5, 60],
+                                 (M, 3)).astype(np.float32))
+    usable = jnp.ones((n_frames, M), bool)
+
+    @jax.jit
+    def run_gn():
+        def step(acc, inp):
+            uv, us = inp
+            est = estimate_pose_gn(cam, lm, uv, us,
+                                   R_init=jnp.eye(3), t_init=jnp.zeros(3))
+            return acc + est.translation.sum() + est.rotation.sum(), None
+        acc, _ = jax.lax.scan(step, jnp.float32(0),
+                              (jnp.asarray(uv_new), usable))
+        return acc
+
+    np.asarray(run_gn())
+    t0 = time.perf_counter()
+    np.asarray(run_gn())
+    gn_ms = (time.perf_counter() - t0) / n_frames * 1e3
+
+    Wb = ocfg.ba_window
+    obs_uv = jnp.asarray(np.stack(
+        [uv_new[k:k + Wb] for k in range(n_frames - Wb)]))
+    nF = obs_uv.shape[0]
+    eyeW = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (Wb, 3, 3))
+
+    @jax.jit
+    def run_ba_scan():
+        def step(acc, ouv):
+            pb = BAProblem(
+                R=eyeW, t=jnp.zeros((Wb, 3), jnp.float32) + acc * 0,
+                landmarks=lm, obs_uv=ouv,
+                obs_mask=jnp.ones((Wb, M), bool),
+                depth_prior=jnp.full((Wb, M), 12.0),
+                depth_mask=jnp.ones((Wb, M), bool),
+                fixed=jnp.arange(Wb) == Wb - 1,
+                lm_valid=jnp.ones((M,), bool))
+            res = run_ba(cam, pb, iters=ocfg.ba_iters,
+                         depth_weight=ocfg.depth_weight)
+            return acc + res.problem.t.sum(), None
+        acc, _ = jax.lax.scan(step, jnp.float32(0), obs_uv)
+        return acc
+
+    np.asarray(run_ba_scan())
+    t0 = time.perf_counter()
+    np.asarray(run_ba_scan())
+    ba_ms = (time.perf_counter() - t0) / nF * 1e3
+
     print(json.dumps({
         "metric": "frames_per_s_per_chip_depth_assoc_plus_ba",
         "value": round(odo_fps, 2),
@@ -208,7 +312,13 @@ def main() -> None:
         "vs_baseline": round(odo_fps / 10.0, 2),
         "depth_assoc_fps": round(depth_fps, 2),
         "depth_assoc_vs_baseline": round(depth_fps / 10.0, 2),
+        "depth_assoc_fast_fps": round(depth_fast_fps, 2),
+        "combined_fast_fps": round(odo_fast_fps, 2),
         "single_dispatch_frame_ms": round(single_ms, 2),
+        "stage_ms_depth_assoc": round(1e3 / depth_fps, 2),
+        "stage_ms_odometry_full": round(1e3 / odo_fps, 2),
+        "stage_ms_pose_gn": round(gn_ms, 2),
+        "stage_ms_window_ba": round(ba_ms, 2),
     }))
 
 

@@ -164,10 +164,29 @@ class DepthEstimatorConfig:
     # deterministic and order-independent.  "first" reproduces the
     # reference rule (scatter with lowest-index-wins).
     grid_collision_rule: str = "nearest"
+    # Fast rasterization: collapse the 4 O(P)-offset scatter/gather
+    # streams of the exact rasterizer to ONE scatter-min by carrying
+    # the depth inside the scatter key (~2 cm quantization, decoded
+    # depth error <= 1 cm) and reconstructing winner positions at cell
+    # centers (+-0.5 px -> ~1.4 cm lateral at 20 m).  TPU scatters are
+    # latency-bound per OFFSET (DESIGN.md "Rasterization is the new
+    # floor"), so this roughly halves frame-ingest time.  Default OFF:
+    # the exact path stays bit-pinned by the parity oracles.  Requires
+    # grid_collision_rule == "nearest".
+    fast_rasterization: bool = False
 
     # Road-pass neighbor window scales (DepthEstimator.cpp:585).
     road_search_scale_x: float = 2.0
     road_search_scale_y: float = 1.5
+    # Reference parity: ANY neighbor farther than
+    # ransac_plane_point_distance_treshold from the ground plane vetoes
+    # the whole road pass (DepthEstimator.cpp:815-816) even though the
+    # plane fit only uses inlier-flagged points — a known reference
+    # defect that kills road features whose widened window clips a wall
+    # edge.  False = improved mode: off-plane neighbors are trimmed
+    # (excluded from the fit, which they already were) instead of
+    # vetoing; measured success-rate gain in DESIGN.md.
+    road_any_far_veto: bool = True
 
     # Semantic ground-plane path: road-class label set (the reference
     # hardcodes {6, 7, 8, 9}, tracklet_depth_module.cpp:280 /
@@ -205,6 +224,10 @@ class DepthEstimatorConfig:
             raise ValueError("histogram bin width must be > 0")
         if self.grid_collision_rule not in ("nearest", "first"):
             raise ValueError("grid_collision_rule must be 'nearest' or 'first'")
+        if self.fast_rasterization and self.grid_collision_rule != "nearest":
+            raise ValueError(
+                "fast_rasterization carries depth in the scatter key and "
+                "only implements the 'nearest' collision rule")
         if self.pixelarea_search_witdh <= 0 or self.pixelarea_search_height <= 0:
             raise ValueError("search window must be positive")
         for name in ("max_points", "max_features", "image_width", "image_height",

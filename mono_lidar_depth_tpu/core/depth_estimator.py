@@ -151,7 +151,7 @@ def rasterize_cloud(
     return build_frame_cloud(
         cloud_lidar, cloud_valid, lidar_to_cam, camera,
         cfg.image_height, cfg.image_width, cfg.grid_collision_rule,
-        point_flags=flags)
+        point_flags=flags, fast=cfg.fast_rasterization)
 
 
 def plane_to_camera(lidar_to_cam: SE3, coeffs: jnp.ndarray) -> jnp.ndarray:
@@ -496,7 +496,19 @@ def _road_pass(cfg, nb2, ray_origin, ray_dir, gp_coeffs_cam, gp_ok,
     # Inlier flags come rasterized with the window slice (nb2.flags).
     road_mask = nb2.mask & nb2.flags
     road_count = jnp.sum(road_mask, axis=-1)
-    road_seg_ok = ~any_far & (road_count >= 3)
+    if cfg.road_any_far_veto:
+        # Reference parity (DepthEstimator.cpp:815-816): ANY neighbor
+        # farther than the threshold from the ground plane vetoes the
+        # whole road pass — even though the fit below only ever uses
+        # inlier-flagged points.  A known reference defect: the widened
+        # road window routinely clips a wall/obstacle edge, killing
+        # road features that the flagged-inlier fit would handle fine.
+        road_seg_ok = ~any_far & (road_count >= 3)
+    else:
+        # Improved mode (road_any_far_veto=False): off-plane neighbors
+        # are simply not in `road_mask`; require enough on-plane
+        # support and let the (M-estimator/LS/triangle) fit run.
+        road_seg_ok = road_count >= 3
 
     if cfg.plane_estimator_use_mestimator:
         # Prior weights: distance of each neighbor to the ground plane

@@ -62,6 +62,14 @@ _IDX_BITS = 17
 _ZQ_MAX = (1 << (31 - _IDX_BITS)) - 2  # 16382
 _ZQ_RANGE = 160.0  # metres covered by the quantized depth key
 
+# Fast-path key layout: zq(13) | flag(1) | idx(17).  The depth that
+# downstream consumes is DECODED FROM THE KEY (cell-center of a ~2 cm
+# bin), so the winner gather and both attribute scatters disappear —
+# one O(P)-offset stream total.  Tie order within a cell: smallest
+# quantized depth, then flag=0 before flag=1, then lowest raw index.
+_FAST_ZQ_MAX = (1 << 13) - 2  # 8190
+_FAST_STEP = _ZQ_RANGE / (_FAST_ZQ_MAX + 1)  # 1.95 cm -> |dz| <= 0.98 cm
+
 
 class FrameCloud(NamedTuple):
     """Per-frame point-cloud state (replaces `PointcloudData`,
@@ -103,6 +111,7 @@ def build_frame_cloud(
     grid_width: int,
     collision_rule: str = "nearest",
     point_flags: jnp.ndarray | None = None,
+    fast: bool = False,
 ) -> FrameCloud:
     """Transform, project, and rasterize one lidar cloud.
 
@@ -115,6 +124,10 @@ def build_frame_cloud(
       collision_rule: "nearest" (default) or "first" (reference parity).
       point_flags: optional [P] bool per-point flag (the ground-plane
         inlier mask), carried in the sign bit of the z plane — free.
+      fast: single-scatter rasterization — winner depth decoded from
+        the scatter key (<= 1 cm quantization error) and winner u, v
+        reconstructed at cell centers (+-0.5 px); the flag rides its
+        own key bit.  See config.fast_rasterization.
 
     Visibility matches the reference's strict test
     (DepthEstimator.cpp:184-207): 0 < u < W and 0 < v < H; grid entries
@@ -144,6 +157,45 @@ def build_frame_cloud(
 
     idx = jnp.arange(P, dtype=jnp.int32)
     big = jnp.int32(2**31 - 1)
+
+    if fast:
+        if collision_rule != "nearest":
+            raise ValueError("fast rasterization implements 'nearest' only")
+        if P > (1 << _IDX_BITS):
+            raise ValueError(
+                f"fast rasterization supports up to {1 << _IDX_BITS} points")
+        zq = jnp.clip((z * (1.0 / _FAST_STEP)).astype(jnp.int32),
+                      0, _FAST_ZQ_MAX)
+        flag_bit = (point_flags.astype(jnp.int32)
+                    if point_flags is not None else jnp.int32(0))
+        key = (zq << (_IDX_BITS + 1)) | (flag_bit << _IDX_BITS) | idx
+        grid_flat = jnp.full((ncells + 1,), big, dtype=jnp.int32)
+        grid_flat = grid_flat.at[flat].min(jnp.where(visible, key, big))
+        occupied = grid_flat[:ncells] != big
+        raw = grid_flat[:ncells]
+        grid = jnp.where(occupied, raw & ((1 << _IDX_BITS) - 1),
+                         POINT_NOT_DEFINED).reshape(grid_height, grid_width)
+        # Decode the winner's depth + flag straight from the key —
+        # elementwise over cells, zero extra offset streams.
+        z_dec = ((raw >> (_IDX_BITS + 1)).astype(jnp.float32) + 0.5) \
+            * _FAST_STEP
+        f_dec = ((raw >> _IDX_BITS) & 1).astype(jnp.bool_)
+        z_enc_plane = jnp.where(occupied,
+                                jnp.where(f_dec, -z_dec, z_dec), 0.0)
+        # Winner subpixel position: cell center (qu = qv = 2048).
+        center = jnp.float32(2048.0 * 4096.0 + 2048.0)
+        uv_plane = jnp.where(occupied, center, 0.0)
+        planes = jnp.stack([z_enc_plane, uv_plane]).reshape(
+            2, grid_height, grid_width)
+        # winner_flat via one gather — consumed only by
+        # rasterize_point_channel; XLA dead-code-eliminates it from
+        # programs that never read it (the depth pipeline doesn't).
+        won = visible & (jnp.take(grid_flat, flat, axis=0) == key)
+        winner_flat = jnp.where(won, flat, ncells).astype(jnp.int32)
+        return FrameCloud(
+            points_lidar=points_lidar, points_cam=points_cam, uv=uv,
+            valid=valid, visible=visible, grid=grid, planes=planes,
+            winner_flat=winner_flat)
 
     if collision_rule == "first":
         # Lowest raw index per pixel == first point in cloud scan order,

@@ -152,3 +152,94 @@ def test_two_scale_gather_matches_direct(rng):
                                   cfg.road_window)
     np.testing.assert_array_equal(np.asarray(big.mask),
                                   np.asarray(direct_big.mask))
+
+
+def test_fast_rasterization_matches_exact_within_quantization(rng):
+    """The single-scatter fast path (config.fast_rasterization) must
+    agree with the exact rasterizer up to its documented error model:
+    identical occupancy, winner depth within one ~2 cm quantization
+    step (winner swaps can only happen between points closer than one
+    step), and the ground-flag preserved wherever winners match."""
+    from mono_lidar_depth_tpu.core.projection import (_FAST_STEP,
+                                                      build_frame_cloud)
+
+    pts = rng.uniform([-8, -4, 2], [8, 4, 90], (8192, 3)).astype(np.float32)
+    valid = jnp.asarray(rng.uniform(size=8192) > 0.05)
+    flags = jnp.asarray(rng.uniform(size=8192) > 0.5)
+    cam = PinholeCamera(width=128, height=96, focal_length=300.0,
+                        cx=64.0, cy=48.0)
+    kw = dict(valid=valid, lidar_to_cam=_identity_se3(), camera=cam,
+              grid_height=96, grid_width=128, collision_rule="nearest",
+              point_flags=flags)
+    exact = build_frame_cloud(jnp.asarray(pts), **kw)
+    fast = build_frame_cloud(jnp.asarray(pts), **kw, fast=True)
+
+    ze = np.asarray(exact.planes[0])
+    zf = np.asarray(fast.planes[0])
+    occ_e = ze != 0
+    occ_f = zf != 0
+    np.testing.assert_array_equal(occ_f, occ_e)
+    # depth: decoded bin center within one step of the exact winner
+    # depth (same winner -> step/2; a swap implies the two points were
+    # within one step of each other)
+    d = np.abs(np.abs(zf[occ_f]) - np.abs(ze[occ_e]))
+    assert d.max() <= _FAST_STEP + 1e-5, d.max()
+    assert _FAST_STEP <= 0.02  # the documented <= 1 cm decode error
+    # where the same point won, the flag (sign) must agree
+    same = occ_e & (np.asarray(fast.grid) == np.asarray(exact.grid))
+    assert same.sum() > 0.9 * occ_e.sum()  # swaps are rare
+    np.testing.assert_array_equal(np.sign(zf[same]), np.sign(ze[same]))
+    # raw-index grid entries always point at real, visible points
+    gi = np.asarray(fast.grid)[occ_f]
+    assert (gi >= 0).all() and (gi < 8192).all()
+    assert np.asarray(exact.visible)[gi].all()
+
+
+def test_fast_rasterization_end_to_end_depth_delta(rng):
+    """estimate_depths with fast_rasterization: same scene, same
+    features — success outcomes near-identical and successful depths
+    within a few cm of the exact path (quantized z + cell-center
+    lateral reconstruction feeding the plane fits)."""
+    import jax
+
+    from mono_lidar_depth_tpu import (DepthEstimatorConfig, estimate_depths,
+                                      fit_ground_plane_ransac)
+    from mono_lidar_depth_tpu.io.kitti import make_synthetic_scan, pad_cloud
+
+    cfg = DepthEstimatorConfig(
+        max_points=16384, max_features=256, image_width=384,
+        image_height=128, radiusSearch_count_min=1,
+        ransac_num_hypotheses=256, ransac_subsample_points=1024)
+    cam = PinholeCamera(width=384, height=128, focal_length=240.0,
+                        cx=192.0, cy=64.0)
+    R_lc = np.array([[0, -1, 0], [0, 0, -1], [1, 0, 0]], np.float32)
+    T = SE3(jnp.asarray(R_lc), jnp.zeros(3, jnp.float32))
+    scan = make_synthetic_scan(rng, 16000)
+    cloud, cvalid = pad_cloud(scan, len(scan), cfg.max_points)
+    cloud, cvalid = jnp.asarray(cloud), jnp.asarray(cvalid)
+    uv = jnp.asarray(rng.uniform([4, 4], [380, 124], (256, 2)).astype(
+        np.float32))
+    ok = jnp.ones(256, bool)
+    gp = fit_ground_plane_ransac(
+        cloud, cvalid, jax.random.PRNGKey(0),
+        distance_threshold=cfg.ransac_plane_distance_treshold,
+        num_hypotheses=cfg.ransac_num_hypotheses,
+        subsample=cfg.ransac_subsample_points)
+    e = estimate_depths(cfg, cam, T, cloud, cvalid, uv, ok, gp)
+    f = estimate_depths(cfg.replace(fast_rasterization=True), cam, T,
+                        cloud, cvalid, uv, ok, gp)
+    de, df = np.asarray(e.depths), np.asarray(f.depths)
+    ce, cf = np.asarray(e.codes), np.asarray(f.codes)
+    both = (de > 0) & (df > 0)
+    # outcome agreement: perturbations only flip marginal features
+    assert (ce == cf).mean() > 0.9, (ce == cf).mean()
+    assert both.sum() > 0.8 * (de > 0).sum()
+    delta = np.abs(de[both] - df[both])
+    # quantization 1 cm + cell-center lateral error through the plane
+    # fits.  At this test's short focal length (f = 240 px) the
+    # +-0.5 px cell-center reconstruction is z/480 ~ 8 cm lateral at
+    # 40 m — ~3x the KITTI-calibration case (f = 707) — so the depth
+    # deltas here UPPER-bound the deployment error.
+    assert np.quantile(delta, 0.9) < 0.10, np.quantile(delta, 0.9)
+    assert np.median(delta) < 0.02, np.median(delta)
+    assert delta.max() < 1.0, delta.max()
