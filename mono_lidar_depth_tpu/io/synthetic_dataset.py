@@ -56,7 +56,8 @@ LABEL_WALL = 11  # "building" — not a ground class
 LABEL_SKY = 23
 
 
-def _cast(origins: np.ndarray, dirs: np.ndarray, z_end: float
+def _cast(origins: np.ndarray, dirs: np.ndarray, z_end: float,
+          road_texture: float = 1.0
           ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Ray-cast the analytic scene.
 
@@ -75,6 +76,8 @@ def _cast(origins: np.ndarray, dirs: np.ndarray, z_end: float
         if ok.any():
             best_t = np.where(ok, t, best_t)
             s = _texture(u + salt, v)
+            if lab == LABEL_ROAD and road_texture < 1.0:
+                s = 0.5 + road_texture * (s - 0.5)
             shade = np.where(ok, s, shade)
             label = np.where(ok, np.uint8(lab), label)
 
@@ -120,6 +123,13 @@ class SyntheticSpec:
     # "loop" trajectory: drive forward, U-turn, drive back, U-turn —
     # ends revisiting the start with the same heading (closure-able).
     loop: bool = False
+    # Road texture contrast in [0, 1].  1.0 = fully textured ground
+    # (trackable everywhere — the DEFAULT scene, which plants features
+    # on far oblique ground and drives the TriangleNotPlanar residual,
+    # DESIGN.md success-rate reconciliation).  Small values render the
+    # road near-uniform,like real asphalt: the tracker then avoids it and
+    # the feature distribution matches the reference's real-KITTI runs.
+    road_texture: float = 1.0
 
 
 # KITTI-style cam←lidar: lidar x forward, y left, z up.
@@ -189,7 +199,8 @@ def generate_kitti_sequence(root: str, sequence: str = "99",
         # ---- image + ground-truth semantics ---------------------------
         d_world = d_cam @ R_wc_k.T
         o = np.broadcast_to(c_k, d_world.shape)
-        t, shade, label = _cast(o, d_world, z_end)
+        t, shade, label = _cast(o, d_world, z_end,
+                                spec.road_texture)
         img = np.where(np.isfinite(t), shade, 0.08)
         img = (np.clip(img, 0, 1) * 255).astype(np.uint8).reshape(H, W)
         Image.fromarray(img, mode="L").save(
@@ -203,7 +214,7 @@ def generate_kitti_sequence(root: str, sequence: str = "99",
         o_l = c_k + R_wc_k @ T_CL
         d_world_l = d_lid @ R_wl.T
         o2 = np.broadcast_to(o_l, d_world_l.shape)
-        t_l, _, _ = _cast(o2, d_world_l, z_end)
+        t_l, _, _ = _cast(o2, d_world_l, z_end, spec.road_texture)
         hit = np.isfinite(t_l) & (t_l < 120.0)
         pts_l = d_lid * t_l[:, None]  # lidar-frame (rays are unit)
         noise = rng.normal(size=pts_l.shape) * 0.006

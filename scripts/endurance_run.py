@@ -1,0 +1,163 @@
+#!/usr/bin/env python
+"""Endurance record: one 2000+ frame sequence end-to-end — VO +
+sliding-window BA + pose-graph backend — with a mid-run
+checkpoint/resume equivalence check (VERDICT r3 item 8; KITTI 00 is
+4541 frames, BASELINE configs 4-5).
+
+Stages:
+  1. generate a 2048-frame synthetic loop sequence (cached per tmpdir);
+  2. straight-through VO (chunked scan driver), wall + per-frame time;
+  3. checkpointed run: stop at frame ~1024, snapshot the scan carry to
+     the on-disk .npz format, restore, resume — the stitched
+     trajectory must match the straight-through one to 1e-5;
+  4. pose-graph backend over the full trajectory (proposal on the
+     estimate, KLT+depth+GN verification from the images, consistency
+     filter, calibrated chain-preconditioned solve);
+  5. write ENDURANCE_<tag>.json.
+
+Usage: python scripts/endurance_run.py [--frames 2048] [--platform cpu]
+"""
+
+import argparse
+import json
+import time
+import sys
+import tempfile
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+W, H = 384, 128
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=2048)
+    ap.add_argument("--checkpoint-at", type=int, default=1024)
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--tag", default="r4")
+    ap.add_argument("--seq-dir", default=None,
+                    help="reuse a previously generated sequence dir")
+    args = ap.parse_args()
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import numpy as np
+
+    from mono_lidar_depth_tpu import DepthEstimatorConfig
+    from mono_lidar_depth_tpu.eval import (eval_vo_sequence,
+                                           propose_loop_closures,
+                                           run_pose_graph_backend)
+    from mono_lidar_depth_tpu.eval.kitti_eval import (
+        closure_constraint_from_frames, filter_consistent_closures)
+    from mono_lidar_depth_tpu.io.checkpoint import (load_checkpoint,
+                                                    save_checkpoint)
+    from mono_lidar_depth_tpu.io.kitti import KittiSequence
+    from mono_lidar_depth_tpu.io.synthetic_dataset import (
+        SyntheticSpec, generate_kitti_sequence)
+    from mono_lidar_depth_tpu.vo.metrics import ate_rmse
+
+    rec = {"frames": args.frames, "backend": jax.default_backend()}
+
+    # ---- 1. sequence -------------------------------------------------
+    root = args.seq_dir or tempfile.mkdtemp(prefix="endurance_")
+    if not (Path(root) / "sequences" / "97").exists():
+        print(f"[1/4] generating {args.frames}-frame loop sequence "
+              f"under {root} ...", flush=True)
+        t0 = time.perf_counter()
+        generate_kitti_sequence(
+            root, "97", SyntheticSpec(frames=args.frames, image_width=W,
+                                      image_height=H, focal=240.0,
+                                      lidar_rows=20, lidar_cols=500,
+                                      step=0.55, loop=True))
+        rec["gen_wall_s"] = round(time.perf_counter() - t0, 1)
+    seq = KittiSequence(root, "97", image_width=W, image_height=H)
+    cfg = DepthEstimatorConfig(
+        max_points=16384, max_features=384, image_width=W, image_height=H,
+        radiusSearch_count_min=1,
+        ransac_num_hypotheses=256, ransac_subsample_points=1024)
+
+    # ---- 2. straight-through VO --------------------------------------
+    print("[2/4] straight-through VO + window BA ...", flush=True)
+    t0 = time.perf_counter()
+    vo = eval_vo_sequence(seq, cfg, max_tracks=384, max_length=8,
+                          verbose=False)
+    wall = time.perf_counter() - t0
+    gt = seq.gt_poses[vo["frame_ids"]]
+    ate_vo = float(ate_rmse(vo["poses"][:, :3, 3], gt[:, :3, 3]))
+    rec["vo"] = {"frames": vo["frames"],
+                 "wall_s": round(wall, 1),
+                 "ms_per_frame": round(1e3 * wall / vo["frames"], 1),
+                 "ate_rmse_m": round(ate_vo, 3)}
+    print("   ", json.dumps(rec["vo"]), flush=True)
+
+    # ---- 3. checkpoint/resume equivalence ----------------------------
+    print(f"[3/4] checkpoint at frame {args.checkpoint_at} + resume ...",
+          flush=True)
+    part1 = eval_vo_sequence(seq, cfg, max_tracks=384, max_length=8,
+                             verbose=False, max_frames=args.checkpoint_at,
+                             return_carry=True)
+    ckpt = str(Path(root) / "vo_checkpoint.npz")
+    save_checkpoint(ckpt, part1["carry"],
+                    {"next_frame": args.checkpoint_at})
+    carry, meta = load_checkpoint(ckpt, part1["carry"])
+    part2 = eval_vo_sequence(seq, cfg, max_tracks=384, max_length=8,
+                             verbose=False,
+                             start_frame=meta["next_frame"],
+                             init_carry=carry)
+    stitched = np.concatenate([part1["poses"], part2["poses"]])
+    max_dev = float(np.abs(stitched - vo["poses"]).max())
+    rec["checkpoint_resume"] = {
+        "checkpoint_frame": args.checkpoint_at,
+        "checkpoint_bytes": Path(ckpt).stat().st_size,
+        "max_pose_deviation": max_dev,
+        "equivalent": bool(max_dev < 1e-5)}
+    print("   ", json.dumps(rec["checkpoint_resume"]), flush=True)
+    if not rec["checkpoint_resume"]["equivalent"]:
+        raise SystemExit(f"resume NOT equivalent (max dev {max_dev})")
+
+    # ---- 4. pose-graph backend ---------------------------------------
+    print("[4/4] pose-graph backend ...", flush=True)
+    poses = vo["poses"]
+    cands = propose_loop_closures(poses, min_gap=100, radius=8.0,
+                                  stride=4, max_candidates=12)
+    closures = []
+    for (i, j) in cands:
+        z = closure_constraint_from_frames(
+            seq, cfg, vo["frame_ids"][i], vo["frame_ids"][j],
+            max_features=cfg.max_features)
+        if z is not None:
+            closures.append((i, j, *z))
+
+    def _remeasure(a, b):
+        return closure_constraint_from_frames(
+            seq, cfg, vo["frame_ids"][a], vo["frame_ids"][b],
+            max_features=cfg.max_features)
+
+    used = filter_consistent_closures(poses, closures,
+                                      remeasure=_remeasure)
+    t0 = time.perf_counter()
+    if used:
+        opt = run_pose_graph_backend(poses, used,
+                                     consistency_filter=False)
+        ate_pg = float(ate_rmse(opt[:, :3, 3], gt[:, :3, 3]))
+    else:
+        ate_pg = float("nan")
+    rec["pose_graph"] = {
+        "closures_proposed": len(cands),
+        "closures_verified": len(closures),
+        "closures_used": len(used),
+        "solve_wall_s": round(time.perf_counter() - t0, 1),
+        "ate_vo_m": round(ate_vo, 3),
+        "ate_posegraph_m": round(ate_pg, 3)}
+    print("   ", json.dumps(rec["pose_graph"]), flush=True)
+
+    out = REPO / f"ENDURANCE_{args.tag}.json"
+    out.write_text(json.dumps(rec, indent=1) + "\n")
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

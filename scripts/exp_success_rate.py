@@ -36,6 +36,16 @@ def main():
     ap.add_argument("--platform", default=None)
     ap.add_argument("--rows", type=int, nargs="+",
                     default=[10, 20, 40, 64])
+    ap.add_argument("--road-texture", type=float, default=1.0,
+                    help="road texture contrast (SyntheticSpec."
+                         "road_texture): small values render real-"
+                         "asphalt-like uniform road, so the tracker "
+                         "avoids far oblique ground — the reference's "
+                         "real-KITTI feature distribution")
+    ap.add_argument("--no-far-veto", action="store_true",
+                    help="improved road mode: trim off-plane neighbors "
+                         "instead of the reference's whole-pass any-far "
+                         "veto (config.road_any_far_veto=False)")
     ap.add_argument("--max-range", type=float, default=None,
                     help="cap lidar returns at this range (m) — real "
                          "Velodynes return little past ~50 m on dark "
@@ -63,7 +73,8 @@ def main():
             tmp, "95", SyntheticSpec(frames=args.frames, image_width=W,
                                      image_height=H, focal=240.0,
                                      lidar_rows=rows, lidar_cols=500,
-                                     step=0.55, loop=True))
+                                     step=0.55, loop=True,
+                                     road_texture=args.road_texture))
         seq = KittiSequence(tmp, "95", image_width=W, image_height=H)
         if args.max_range is not None:
             import numpy as np
@@ -83,6 +94,7 @@ def main():
             max_points=max(16384, 1 << (rows * 500 - 1).bit_length()),
             max_features=384, image_width=W, image_height=H,
             radiusSearch_count_min=1,
+            road_any_far_veto=not args.no_far_veto,
             ransac_num_hypotheses=256, ransac_subsample_points=1024)
         out = eval_depth_sequence(seq, cfg, max_tracks=512, max_length=8,
                                   verbose=False)
@@ -98,6 +110,8 @@ def main():
                         counters[i] / total, 4)
         row = {"lidar_rows": rows,
                "max_range": args.max_range,
+               "road_texture": args.road_texture,
+               "far_veto": not args.no_far_veto,
                "success_all": round(out["success_rate_all"], 4),
                "success_covered":
                    round(out["success_rate_lidar_covered"], 4),

@@ -135,6 +135,27 @@ def main() -> None:
                 round(out["success_rate_lidar_covered"], 4),
             "wall_s": round(warm_s, 1),
             "wall_cold_s": round(cold_s, 1)}
+    # Fast-rasterization quality row (same eval, fast_rasterization=True)
+    # + the device-only split for the ransac config: steady wall =
+    # device compute + host->device transfer (the dev tunnel runs at
+    # ~24 MB/s; a local TPU host would erase the gap — see
+    # measure_depth_device_time).
+    from mono_lidar_depth_tpu.eval.kitti_eval import (
+        measure_depth_device_time)
+    t0 = time.perf_counter()
+    out = eval_depth_sequence(seq, cfg.replace(fast_rasterization=True),
+                              max_tracks=512, max_length=8, verbose=False)
+    depth["fast_rasterization"] = {
+        "success_rate_all": round(out["success_rate_all"], 4),
+        "success_rate_lidar_covered":
+            round(out["success_rate_lidar_covered"], 4),
+        "wall_s": None,
+        "wall_cold_s": round(time.perf_counter() - t0, 1)}
+    dev = measure_depth_device_time(seq, cfg, max_tracks=512,
+                                    max_length=8)
+    depth["ransac"]["device_s"] = round(dev["device_s"], 2)
+    depth["ransac"]["device_ms_per_frame"] = round(
+        dev["device_ms_per_frame"], 1)
     rec["depth"] = depth
     print("   ", json.dumps(depth), flush=True)
 
@@ -324,16 +345,33 @@ def _render_md(rec: dict, tag: str) -> str:
         "",
         "## Config 2 — depth association success rates",
         "",
-        "| plane mode | success (all) | success (lidar-covered) | "
+        "| mode | success (all) | success (lidar-covered) | "
         "steady wall s | cold wall s (incl. compile) |",
         "|---|---|---|---|---|",
     ]
-    for k in ("ransac", "semantic", "region_growing"):
-        r = d[k]
+    for k in ("ransac", "semantic", "region_growing",
+              "fast_rasterization"):
+        r = d.get(k)
+        if r is None:
+            continue
         lines.append(
             f"| {k} | {100*r['success_rate_all']:.1f}% | "
-            f"{100*r['success_rate_lidar_covered']:.1f}% | {r['wall_s']} | "
-            f"{r.get('wall_cold_s', '—')} |")
+            f"{100*r['success_rate_lidar_covered']:.1f}% | "
+            f"{r['wall_s'] if r['wall_s'] is not None else '—'} | "
+            f"{r.get('wall_cold_s') or '—'} |")
+    dev_s = d["ransac"].get("device_s")
+    if dev_s is not None:
+        wall = d["ransac"]["wall_s"]
+        lines += [
+            "",
+            f"Device/host split (ransac row): device-only compute "
+            f"{dev_s} s ({d['ransac']['device_ms_per_frame']} ms/frame, "
+            "all chunks pre-staged on device) vs steady wall "
+            f"{wall} s — the gap is host->device payload over this dev "
+            "environment's remote tunnel (measured ~24 MB/s; "
+            "~260 KB/frame of cloud+image).  On a local TPU host the "
+            "same harness is device-bound.",
+        ]
     lines += [
         "",
         "## Config 3 — VO + sliding-window BA (landmark ablation)",

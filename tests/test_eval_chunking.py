@@ -57,3 +57,33 @@ def test_vo_eval_chunk_invariant(seq, cfg, monkeypatch):
     assert big["frames"] == small["frames"]
     np.testing.assert_allclose(small["poses"], big["poses"],
                                rtol=0, atol=1e-6)
+
+
+def test_vo_checkpoint_resume_equivalence(seq, cfg, monkeypatch, tmp_path):
+    """Mid-run checkpoint/resume must reproduce the straight-through
+    trajectory exactly: run frames 0..13, snapshot the scan carry
+    through the on-disk checkpoint format, resume at frame 14, and
+    compare against one uninterrupted run (the endurance-run
+    requirement — scripts/endurance_run.py does this at 2000+ frames;
+    this pins the mechanism in CI)."""
+    from mono_lidar_depth_tpu.io.checkpoint import (load_checkpoint,
+                                                    save_checkpoint)
+
+    _with_chunk(monkeypatch, 7)
+    full = eval_vo_sequence(seq, cfg, max_tracks=256, max_length=6,
+                            verbose=False)
+    part1 = eval_vo_sequence(seq, cfg, max_tracks=256, max_length=6,
+                             verbose=False, max_frames=14,
+                             return_carry=True)
+    ckpt = str(tmp_path / "vo_state.npz")
+    save_checkpoint(ckpt, part1["carry"], {"next_frame": 14})
+    # restore through the file (round-trips dtypes/shapes)
+    carry, meta = load_checkpoint(ckpt, part1["carry"])
+    assert meta["next_frame"] == 14
+    part2 = eval_vo_sequence(seq, cfg, max_tracks=256, max_length=6,
+                             verbose=False, start_frame=14,
+                             init_carry=carry)
+    stitched = np.concatenate([part1["poses"], part2["poses"]])
+    assert part1["frame_ids"][-1] + 1 == part2["frame_ids"][0]
+    assert len(stitched) == len(full["poses"])
+    np.testing.assert_allclose(stitched, full["poses"], rtol=0, atol=1e-6)
