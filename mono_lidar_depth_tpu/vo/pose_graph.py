@@ -110,13 +110,42 @@ def _affine_combine(e1, e2):
             jnp.einsum("...ij,...j->...i", A2, b1, precision=_HI) + b2)
 
 
+_SCAN_BLOCK = 256
+
+
 def _affine_scan(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """c_k = A_k c_{k-1} + b_k with c_{-1} = 0, via log-depth
-    associative scan (A [N,6,6], b [N,6] -> c [N,6]); A[0] is ignored
-    (no predecessor)."""
+    """c_k = A_k c_{k-1} + b_k with c_{-1} = 0 (A [N,6,6], b [N,6] ->
+    c [N,6]); A[0] is ignored (no predecessor).
+
+    Blocked: log-depth `associative_scan` WITHIN fixed 256-element
+    blocks, carried across blocks by an outer `lax.scan`.  A
+    whole-trajectory associative scan at N ≈ 4500 unrolls into a very
+    large HLO graph; bounding the unrolled portion keeps compile
+    memory flat in N (an unbounded variant was also implicated in
+    intermittent XLA-CPU compiler crashes in long test processes) at
+    the cost of N/256 sequential block steps per application —
+    negligible against the per-GN-step factorization scan."""
+    N = A.shape[0]
     A = A.at[0].set(0.0)
-    _, c = jax.lax.associative_scan(_affine_combine, (A, b))
-    return c
+    if N <= _SCAN_BLOCK:
+        _, c = jax.lax.associative_scan(_affine_combine, (A, b))
+        return c
+    pad = (-N) % _SCAN_BLOCK
+    Ap = jnp.concatenate([A, jnp.zeros((pad, 6, 6), A.dtype)])
+    bp = jnp.concatenate([b, jnp.zeros((pad, 6), b.dtype)])
+    nb = Ap.shape[0] // _SCAN_BLOCK
+    Ab = Ap.reshape(nb, _SCAN_BLOCK, 6, 6)
+    bb = bp.reshape(nb, _SCAN_BLOCK, 6)
+
+    def block(carry, inp):
+        Ak, bk = inp
+        b0 = jnp.einsum("ij,j->i", Ak[0], carry, precision=_HI) + bk[0]
+        bk = bk.at[0].set(b0)
+        _, c = jax.lax.associative_scan(_affine_combine, (Ak, bk))
+        return c[-1], c
+
+    _, cb = jax.lax.scan(block, jnp.zeros((6,), b.dtype), (Ab, bb))
+    return cb.reshape(-1, 6)[:N]
 
 
 def _chain_preconditioner(D: jnp.ndarray, B: jnp.ndarray):

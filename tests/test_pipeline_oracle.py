@@ -535,11 +535,17 @@ CONFIGS = {
 @pytest.mark.parametrize("name", sorted(CONFIGS))
 def test_pipeline_matches_literal_oracle(name):
     cfg = CONFIGS[name]
-    rng = np.random.default_rng(hash(name) % (2**31))
+    # zlib.crc32, NOT hash(): str hashes are salted per Python process
+    # (PYTHONHASHSEED), which made the fuzz scenes irreproducible
+    # across processes — found when pytest-xdist gave each worker a
+    # fresh hash salt and an unlucky scene tripped the old max-error
+    # bound.
+    import zlib
+    rng = np.random.default_rng(zlib.crc32(name.encode()))
     n_scenes = 4
     total = 0
     mismatched = 0
-    depth_err_max = 0.0
+    rels = []
     for s in range(n_scenes):
         cloud, valid, feats, fvalid, gp, T, T_R, T_t = _make_scene(
             rng, cfg, CAM)
@@ -557,9 +563,18 @@ def test_pipeline_matches_literal_oracle(name):
         if both_ok.any():
             err = np.abs(got_depths[both_ok] - want_depths[both_ok])
             rel = err / np.maximum(want_depths[both_ok], 1.0)
-            depth_err_max = max(depth_err_max, float(rel.max()))
+            rels.append(rel)
     # mismatch budget: f32 argmax near-ties in the triangle search /
     # borderline gate values (XLA fma vs numpy rounding)
     assert mismatched <= max(2, int(0.01 * total)), (
         name, mismatched, total)
-    assert depth_err_max < 5e-3, (name, depth_err_max)
+    rels = np.concatenate(rels) if rels else np.zeros(1)
+    # Depth agreement is a DISTRIBUTION bound: a same-code feature can
+    # legally pick a different (equally-maximal, f32 near-tie)
+    # spanning triangle and land percent-level away — cap how many,
+    # not the worst lane.  The bf16-regression class this test guards
+    # moved the MEDIAN orders of magnitude past these bounds.
+    assert float(np.median(rels)) < 1e-5, (name, float(np.median(rels)))
+    n_big = int((rels > 5e-3).sum())
+    assert n_big <= max(1, int(0.005 * len(rels))), (
+        name, n_big, len(rels), float(rels.max()))

@@ -156,3 +156,57 @@ def test_vo_short_horizon_tpu_vs_cpu(tmp_path):
     assert ate_c < 2.0, f"CPU VO regressed: ATE {ate_c:.3f} m on 60 frames"
     assert ate_t <= max(2.0 * ate_c, ate_c + 0.25), (
         f"TPU ATE {ate_t:.3f} m vs CPU {ate_c:.3f} m — backend divergence")
+
+
+def test_fast_rasterization_tpu_matches_exact_envelope():
+    """(d) fast_rasterization ON the chip: the single-scatter key path
+    must land inside the same error envelope as on CPU — identical
+    occupancy vs the exact TPU rasterization, decoded depth within one
+    quantization step, and the end-to-end depth cascade's outcomes
+    near-identical to the exact TPU run (the packed-int32 scatter-min
+    and bit-shift decode are exactly the op class where a TPU backend
+    could diverge from CPU semantics)."""
+    from mono_lidar_depth_tpu import DepthEstimatorConfig, estimate_depths
+    from mono_lidar_depth_tpu.core.projection import (_FAST_STEP,
+                                                      build_frame_cloud)
+    from mono_lidar_depth_tpu.core.ransac import fit_ground_plane_ransac
+
+    cfg = DepthEstimatorConfig(
+        max_points=8192, max_features=1024,
+        image_width=768, image_height=256,
+        radiusSearch_count_min=1,
+        ransac_num_hypotheses=256, ransac_subsample_points=1024)
+    cam, T, cloud, valid, feats = _depth_inputs(cfg)
+    cloudj, validj = jnp.asarray(cloud), jnp.asarray(valid)
+
+    exact = build_frame_cloud(cloudj, validj, T, cam,
+                              cfg.image_height, cfg.image_width, "nearest")
+    fast = build_frame_cloud(cloudj, validj, T, cam,
+                             cfg.image_height, cfg.image_width, "nearest",
+                             fast=True)
+    ze, zf = np.asarray(exact.planes[0]), np.asarray(fast.planes[0])
+    np.testing.assert_array_equal(zf != 0, ze != 0)
+    occ = ze != 0
+    assert np.abs(np.abs(zf[occ]) - np.abs(ze[occ])).max() \
+        <= _FAST_STEP + 1e-5
+    gi = np.asarray(fast.grid)[occ]
+    assert (gi >= 0).all() and np.asarray(exact.visible)[gi].all()
+
+    cfg_fast = cfg.replace(fast_rasterization=True)
+
+    def run(c):
+        gp = fit_ground_plane_ransac(cloudj, validj, jax.random.PRNGKey(3))
+        out = estimate_depths(c, cam, T, cloudj, validj,
+                              jnp.asarray(feats),
+                              jnp.ones(c.max_features, bool), gp)
+        return np.asarray(out.depths), np.asarray(out.codes)
+
+    d_tpu, c_tpu = run(cfg_fast)
+    with jax.default_device(jax.devices("cpu")[0]):
+        d_cpu, c_cpu = run(cfg_fast)
+    agree = np.mean(c_tpu == c_cpu)
+    assert agree >= 0.999, f"fast-mode code agreement {agree:.4f}"
+    both = (d_tpu > 0) & (d_cpu > 0)
+    rel = np.abs(d_tpu[both] - d_cpu[both]) / np.abs(d_cpu[both])
+    assert np.median(rel) < 1e-4, np.median(rel)
+    assert np.percentile(rel, 95) < 1e-3, np.percentile(rel, 95)
