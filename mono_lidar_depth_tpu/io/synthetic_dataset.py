@@ -123,6 +123,15 @@ class SyntheticSpec:
     # "loop" trajectory: drive forward, U-turn, drive back, U-turn —
     # ends revisiting the start with the same heading (closure-able).
     loop: bool = False
+    # Multi-lap: build the loop for `lap_frames` and TILE it to
+    # `frames` — the 4-segment cycle (straight, U-turn, straight,
+    # U-turn) closes exactly, so the trajectory retraces the same
+    # circuit every lap (a revisit per lap, bounded extent).  Without
+    # this, the single-lap geometry SCALES with `frames`: at 2000+
+    # frames the U-turn radius grows to ~90 m and the trajectory
+    # leaves the corridor scene entirely (measured: VO ATE 155 m on a
+    # 2048-frame single lap vs 2-3 m at the 220-frame scale).
+    lap_frames: int | None = None
     # Road texture contrast in [0, 1].  1.0 = fully textured ground
     # (trackable everywhere — the DEFAULT scene, which plants features
     # on far oblique ground and drives the TriangleNotPlanar residual,
@@ -152,13 +161,24 @@ def generate_kitti_sequence(root: str, sequence: str = "99",
 
     W, H, f = spec.image_width, spec.image_height, spec.focal
     cx, cy = W / 2.0, H / 2.0
-    z_end = spec.frames * spec.step
+    lap = spec.lap_frames or spec.frames
+    z_end = lap * spec.step
 
     # trajectory: world←cam poses
     poses = []
     R_wc = np.eye(3)
     c = np.zeros(3)
-    if spec.loop:
+    if spec.loop and spec.lap_frames is not None:
+        # multi-lap circuit: the 4-segment cycle closes exactly, so
+        # tiling retraces the same positions with the same heading
+        # every `lap` frames.
+        turn = max(10, lap // 4)
+        straight = max(1, (lap - 2 * turn) // 2)
+        cycle = ([0.0] * straight + [np.pi / turn] * turn
+                 + [0.0] * straight + [np.pi / turn] * turn)
+        reps = spec.frames // len(cycle) + 1
+        yaw_plan = (cycle * reps)[:spec.frames]
+    elif spec.loop:
         # out-and-back: straight, U-turn, straight back (offset one
         # lane), U-turn, then a straight TAIL retracing the first leg
         # with the same heading — same-viewpoint revisits for loop

@@ -71,7 +71,8 @@ def main():
             root, "97", SyntheticSpec(frames=args.frames, image_width=W,
                                       image_height=H, focal=240.0,
                                       lidar_rows=20, lidar_cols=500,
-                                      step=0.55, loop=True))
+                                      step=0.55, loop=True,
+                                      lap_frames=220))
         rec["gen_wall_s"] = round(time.perf_counter() - t0, 1)
     seq = KittiSequence(root, "97", image_width=W, image_height=H)
     cfg = DepthEstimatorConfig(
@@ -121,8 +122,14 @@ def main():
     # ---- 4. pose-graph backend ---------------------------------------
     print("[4/4] pose-graph backend ...", flush=True)
     poses = vo["poses"]
+    # A multi-lap circuit revisits every lap: give the proposer budget
+    # to cover the WHOLE drive (the cap truncates ascending-j, so a
+    # small budget clusters closures in the earliest laps and leaves
+    # the drifted tail unconstrained — measured: 4 early closures
+    # moved 2047-frame ATE 20.9 -> 21.4 m, while full coverage
+    # recovers it).
     cands = propose_loop_closures(poses, min_gap=100, radius=8.0,
-                                  stride=4, max_candidates=12)
+                                  stride=4, max_candidates=60)
     closures = []
     for (i, j) in cands:
         z = closure_constraint_from_frames(
