@@ -32,6 +32,30 @@ import time
 
 import numpy as np
 
+# Timed repetitions per leg.  The committed artifact must be robust to
+# host contention on the shared dev machine: the r4 driver recorded a
+# single-shot depth-assoc 127.9 fps that a rerun minutes later measured
+# at 163.6 fps (~22% swing, pure contention) — indistinguishable from a
+# real regression in a 1-rep protocol.  Every leg now reports the
+# MEDIAN of N_REPS timed runs plus min/max spread; `timing_spread_ok`
+# flags (not fails) any leg whose (max-min)/median exceeds 10% so a
+# contended artifact is impossible to misread as a regression.
+N_REPS = 3
+
+
+def _timed_reps(fn, n: int = N_REPS) -> dict:
+    """Run fn() n times (already warmed/compiled); seconds per rep."""
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    med = ts[len(ts) // 2] if n % 2 else 0.5 * (
+        ts[n // 2 - 1] + ts[n // 2])
+    return {"median_s": med, "min_s": ts[0], "max_s": ts[-1],
+            "spread_frac": (ts[-1] - ts[0]) / med if med > 0 else 0.0}
+
 
 def _reference_yaml_exists() -> bool:
     import os
@@ -143,10 +167,8 @@ def main() -> None:
         return acc
 
     np.asarray(run_depth())  # compile + first run
-    t0 = time.perf_counter()
-    np.asarray(run_depth())
-    dt = time.perf_counter() - t0
-    depth_fps = n_frames * reps / dt
+    r_depth = _timed_reps(lambda: np.asarray(run_depth()))
+    depth_fps = n_frames * reps / r_depth["median_s"]
 
     # ---- leg 1b: depth association, fast rasterization -----------------
     # config.fast_rasterization: single-scatter frame ingest, <= 1 cm
@@ -168,9 +190,8 @@ def main() -> None:
         return acc
 
     np.asarray(run_depth_fast())
-    t0 = time.perf_counter()
-    np.asarray(run_depth_fast())
-    depth_fast_fps = n_frames / (time.perf_counter() - t0)
+    r_depth_fast = _timed_reps(lambda: np.asarray(run_depth_fast()))
+    depth_fast_fps = n_frames / r_depth_fast["median_s"]
 
     # ---- leg 2: full odometry step (depth assoc + pose GN + BA) --------
     ocfg = OdometryConfig()
@@ -192,11 +213,13 @@ def main() -> None:
 
     state_warm, acc = run_odo(state0)
     np.asarray(acc)  # compile + first run (forces deferred execution)
-    t0 = time.perf_counter()
-    _, acc = run_odo(state_warm)
-    np.asarray(acc)
-    dt = time.perf_counter() - t0
-    odo_fps = n_frames * reps / dt
+
+    def _odo_once():
+        _, a = run_odo(state_warm)
+        np.asarray(a)
+
+    r_odo = _timed_reps(_odo_once)
+    odo_fps = n_frames * reps / r_odo["median_s"]
 
     # ---- leg 2b: full odometry with fast rasterization ------------------
     state0_fast = OdometryState.create(cfg_fast, ocfg, max_tracks=M,
@@ -216,10 +239,13 @@ def main() -> None:
 
     sw, acc = run_odo_fast(state0_fast)
     np.asarray(acc)
-    t0 = time.perf_counter()
-    _, acc = run_odo_fast(sw)
-    np.asarray(acc)
-    odo_fast_fps = n_frames / (time.perf_counter() - t0)
+
+    def _odo_fast_once():
+        _, a = run_odo_fast(sw)
+        np.asarray(a)
+
+    r_odo_fast = _timed_reps(_odo_fast_once)
+    odo_fast_fps = n_frames / r_odo_fast["median_s"]
 
     # Dispatch-inclusive single-frame figure: ONE odometry step per
     # jitted call, so the fixed per-dispatch round trip of the remote
@@ -235,10 +261,11 @@ def main() -> None:
 
     _, R1, t1, d1 = run_one(state_warm, one_frame)
     np.asarray(t1)  # compile + first run
-    t0 = time.perf_counter()
     n_single = 10
+    singles = []
     st = state_warm
-    for k in range(n_single):
+    for k in range(n_single * N_REPS):
+        t0 = time.perf_counter()
         st, R1, t1, d1 = run_one(st, jax.tree.map(
             lambda a, _k=(k % n_frames): a[_k], frames))
         # A strict serving loop reads the pose back before the next
@@ -247,7 +274,8 @@ def main() -> None:
         # pipelines the round trips and the figure undercounts exactly
         # the latency it exists to capture.
         np.asarray(t1)
-    single_ms = (time.perf_counter() - t0) / n_single * 1e3
+        singles.append(time.perf_counter() - t0)
+    single_ms = float(np.median(singles)) * 1e3
 
     # ---- stage breakdown (regression canary) ---------------------------
     # Same scan protocol, one leg per stage, so a stage-level perf
@@ -273,9 +301,8 @@ def main() -> None:
         return acc
 
     np.asarray(run_gn())
-    t0 = time.perf_counter()
-    np.asarray(run_gn())
-    gn_ms = (time.perf_counter() - t0) / n_frames * 1e3
+    r_gn = _timed_reps(lambda: np.asarray(run_gn()))
+    gn_ms = r_gn["median_s"] / n_frames * 1e3
 
     Wb = ocfg.ba_window
     obs_uv = jnp.asarray(np.stack(
@@ -301,10 +328,15 @@ def main() -> None:
         return acc
 
     np.asarray(run_ba_scan())
-    t0 = time.perf_counter()
-    np.asarray(run_ba_scan())
-    ba_ms = (time.perf_counter() - t0) / nF * 1e3
+    r_ba = _timed_reps(lambda: np.asarray(run_ba_scan()))
+    ba_ms = r_ba["median_s"] / nF * 1e3
 
+    legs = {"combined": r_odo, "depth_assoc": r_depth,
+            "depth_assoc_fast": r_depth_fast, "combined_fast": r_odo_fast,
+            "pose_gn": r_gn, "window_ba": r_ba}
+    spreads = {f"spread_pct_{k}": round(100.0 * r["spread_frac"], 1)
+               for k, r in legs.items()}
+    worst = max(r["spread_frac"] for r in legs.values())
     print(json.dumps({
         "metric": "frames_per_s_per_chip_depth_assoc_plus_ba",
         "value": round(odo_fps, 2),
@@ -319,6 +351,13 @@ def main() -> None:
         "stage_ms_odometry_full": round(1e3 / odo_fps, 2),
         "stage_ms_pose_gn": round(gn_ms, 2),
         "stage_ms_window_ba": round(ba_ms, 2),
+        # dispersion protocol: medians of N_REPS timed reps; spread =
+        # (max-min)/median per leg.  A leg spread > 10% means host
+        # contention polluted this artifact — compare medians across
+        # rounds, and rerun before calling a regression.
+        "timing_reps": N_REPS,
+        "timing_spread_ok": bool(worst <= 0.10),
+        **spreads,
     }))
 
 

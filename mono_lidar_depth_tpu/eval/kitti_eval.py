@@ -80,30 +80,59 @@ def _dev_img(img: jnp.ndarray) -> jnp.ndarray:
 def _prefetch_iter(gen, depth: int = 1):
     """Run a generator in a background thread with a bounded queue —
     host-side chunk prep (PNG decode + scan reads + stacking) overlaps
-    device compute of the previous chunk."""
+    device compute of the previous chunk.
+
+    If the consumer abandons the iterator (an exception inside the
+    eval loop, or an explicit .close()), the worker must not stay
+    parked on a full queue holding hundreds of MB of staged chunks: a
+    cancellation flag is checked around every blocking put, and the
+    consumer's finally-block sets it, drains the queue, and closes the
+    source generator."""
     import queue
     import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     _END = object()
+    cancelled = threading.Event()
+
+    def put(item) -> bool:
+        while not cancelled.is_set():
+            try:
+                q.put(item, timeout=0.25)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in gen:
-                q.put(item)
-            q.put(_END)
+                if not put(item):
+                    return
+            put(_END)
         except BaseException as e:  # propagate into the consumer
-            q.put(e)
+            put(e)
+        finally:
+            gen.close()
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        cancelled.set()
+        while not q.empty():
+            try:
+                q.get_nowait()
+            except queue.Empty:  # pragma: no cover
+                break
+        t.join(timeout=5.0)
 
 
 def _key_chain(n: int) -> np.ndarray:
@@ -438,7 +467,8 @@ def propose_loop_closures(poses: np.ndarray, min_gap: int = 100,
                           radius: float = 10.0, stride: int = 5,
                           max_heading_deg: float = 45.0,
                           max_candidates: int = 50,
-                          drift_frac: float = 0.03) -> list[tuple[int, int]]:
+                          drift_frac: float = 0.03,
+                          min_candidates: int = 1) -> list[tuple[int, int]]:
     """Loop-closure candidates over a trajectory.
 
     Accepts [F, 4, 4] poses (or [F, 3] positions — then no heading
@@ -452,18 +482,31 @@ def propose_loop_closures(poses: np.ndarray, min_gap: int = 100,
     between them: radius_ij = max(radius, drift_frac · pathlen(i→j)) —
     positions are ESTIMATED, and VO error grows with distance traveled
     (typically 1-3%), so a fixed radius proposes nothing exactly when
-    closures matter most (high drift).  If a pass still proposes
-    nothing, drift_frac escalates ×2 and the heading tolerance widens
-    with it (rotational drift corrupts the estimated relative heading
-    just like positional drift corrupts distances) — but escalation is
-    CAPPED at 20% of path length / 90° heading: beyond ~20% drift a
-    "nearby" estimate carries no revisit information, and an uncapped
-    escalation would manufacture candidates on any curved loop-FREE
-    trajectory (a circular arc's chord is always shorter than its
-    path), burning a verification round trip per spurious pair and
-    raising the odds one falsely verifies.  Each accepted j emits up
-    to its 3 closest partners — under drift the single closest
-    estimated i is often the WRONG revisit."""
+    closures matter most (high drift).  If a pass proposes fewer than
+    `min_candidates`, drift_frac escalates ×2 and the heading
+    tolerance widens with it (rotational drift corrupts the estimated
+    relative heading just like positional drift corrupts distances) —
+    but escalation is CAPPED at 20% of path length / 90° heading:
+    beyond ~20% drift a "nearby" estimate carries no revisit
+    information, and an uncapped escalation would manufacture
+    candidates on any curved loop-FREE trajectory (a circular arc's
+    chord is always shorter than its path), burning a verification
+    round trip per spurious pair and raising the odds one falsely
+    verifies.  `min_candidates` > 1 matters under HEAVY drift: the
+    first non-empty pass often finds only the least-drifted revisit,
+    and a backend fed one closure can at best anchor one point — the
+    escalation keeps widening until the proposal covers the loop or
+    the physical caps land (measured on the 0.5°/frame-yaw + 8%-scale
+    leg: 3 proposed/1 verified/0 used at min_candidates=1 vs a
+    recovering set at 6).
+
+    Over-budget sets are thinned UNIFORMLY OVER j, not truncated at
+    ascending j: a truncating cap clusters closures in the earliest
+    revisits and leaves the drifted tail unconstrained (measured on
+    the 9-lap endurance circuit: 4 early closures moved 2047-frame
+    ATE 20.9 → 21.4 m while full-span coverage recovers it).  Each
+    accepted j emits up to its 3 closest partners — under drift the
+    single closest estimated i is often the WRONG revisit."""
     poses = np.asarray(poses)
     if poses.ndim == 3:
         positions = poses[:, :3, 3]
@@ -476,7 +519,7 @@ def propose_loop_closures(poses: np.ndarray, min_gap: int = 100,
     s = np.concatenate([[0.0], np.cumsum(seg)])
 
     def scan(frac: float, heading_tol: float) -> list[tuple[int, int]]:
-        cands = []
+        groups = []  # one group of <=3 (i, j) pairs per accepted j
         last_j = -10 * stride
         for j in range(0, len(positions), stride):
             near = []
@@ -494,18 +537,33 @@ def propose_loop_closures(poses: np.ndarray, min_gap: int = 100,
                 near.append((d, i))
             if near and j - last_j >= 4 * stride:
                 near.sort()
-                cands.extend((i, j) for _, i in near[:3])
+                groups.append([(i, j) for _, i in near[:3]])
                 last_j = j
-            if len(cands) >= max_candidates:
-                break
-        return cands[:max_candidates]
+        if sum(len(g) for g in groups) <= max_candidates:
+            return [p for g in groups for p in g]
+        # Thin to budget uniformly across the accepted-j groups, then
+        # within groups (closest partners first) — coverage of the
+        # whole drive beats density at any one revisit.
+        n_groups = len(groups)
+        per = max(1, max_candidates // n_groups)
+        keep = [g[:per] for g in groups]
+        out = [p for g in keep for p in g]
+        if len(out) > max_candidates:
+            sel = np.linspace(0, len(out) - 1, max_candidates)
+            out = [out[int(k)] for k in sel]
+        elif len(out) < max_candidates:
+            # round-robin the leftover slots over groups' next-closest
+            extras = [p for g in groups for p in g[per:]]
+            out.extend(extras[:max_candidates - len(out)])
+            out.sort(key=lambda p: p[1])
+        return out
 
     max_frac, max_heading = 0.20, 90.0
     frac = drift_frac
     heading_tol = max_heading_deg
     while True:
         cands = scan(frac, heading_tol)
-        if cands or frac >= max_frac:
+        if len(cands) >= min_candidates or frac >= max_frac:
             return cands
         frac = min(2.0 * frac, max_frac)
         heading_tol = min(2.0 * heading_tol, max_heading)
@@ -516,9 +574,11 @@ def filter_consistent_closures(poses: np.ndarray,
                                rot_tol_deg: float = 3.0,
                                trans_tol_m: float = 0.5,
                                drift_frac: float = 0.02,
-                               remeasure=None) -> list[tuple]:
+                               remeasure=None,
+                               max_cycle_path_m: float = 150.0
+                               ) -> list[tuple]:
     """Pairwise-consistency filtering of loop-closure measurements
-    (PCM-lite): keep the largest mutually consistent subset.
+    (PCM-lite): keep closures corroborated by their COMPARABLE peers.
 
     A closure that verified geometrically can still be CONFIDENTLY
     wrong — KLT latching onto repeating structure gives a tight GN
@@ -531,8 +591,34 @@ def filter_consistent_closures(poses: np.ndarray,
     between nearby closure endpoints, so true closures agree with each
     other even under heavy global drift, while a mis-registration
     agrees with nothing.  Tolerances grow with the cycle's odometry
-    path length (drift_frac).  Greedy max-clique over the consistency
-    graph (closure counts are tiny).
+    path length (drift_frac).
+
+    The evidence is ASYMMETRIC in the cycle's odometry path length:
+
+    * CONSISTENCY is positive evidence at any comparable path (capped
+      at `max_cycle_path_m`) — agreement through a long odometry chain
+      in all 6 DoF is vanishingly unlikely for independent
+      mis-registrations;
+    * INCONSISTENCY is negative evidence only over SHORT paths
+      (~40 m): beyond that, real VO drift — concentrated in turns, so
+      NOT bounded by any per-meter tolerance — routinely breaks cycles
+      between two TRUE closures (measured on the 3-lap circuit:
+      good-good cycle residuals of 4 m over 69 m paths crossing a
+      U-turn, vs 0.1-0.4 m for all sub-40 m good-good pairs).
+
+    A closure survives if it has at least one supporter and at least
+    as many supporters as short-path opponents.  The r4 form — one
+    greedy global max-clique over path-scaled tolerances — assumed a
+    single mutually-consistent set; on a multi-lap circuit the
+    consistency graph splits into per-region camps separated by
+    genuine drift, and the clique kept ONE camp, discarding
+    two-thirds of the true closures and leaving whole laps
+    unconstrained (measured, 3-lap/660-frame circuit, 22 verified of
+    which 7 are >0.5 m wrong: clique kept 8 — all in one early-lap
+    region — for ATE 9.28 → 7.45 m; the support/oppose vote keeps 15
+    spanning the full lap, matching the oracle >0.5 m-error split up
+    to two borderline closures, for ~2.3 m — the single-lap drift
+    floor).
 
     A LONE closure has no peer to agree with, and it previously went
     to the backend unchecked — exactly the class this filter exists
@@ -635,40 +721,64 @@ def filter_consistent_closures(poses: np.ndarray,
         T[:3, 3] = np.asarray(zt, np.float64)
         return T
 
+    OPPOSE_PATH_M = 40.0
     n = len(closures)
     ok = np.zeros((n, n), bool)
+    comparable = np.zeros((n, n), bool)
+    local = np.zeros((n, n), bool)
     for a in range(n):
         ia, ja = closures[a][0], closures[a][1]
         Za = as_T(closures[a][2], closures[a][3])
         for b in range(a + 1, n):
             ib, jb = closures[b][0], closures[b][1]
+            path = abs(s[ib] - s[ia]) + abs(s[ja] - s[jb])
+            if path > max_cycle_path_m:
+                continue  # drift over the cycle swamps the evidence
+            comparable[a, b] = comparable[b, a] = True
+            local[a, b] = local[b, a] = path <= OPPOSE_PATH_M
             Zb = as_T(closures[b][2], closures[b][3])
             pred = rel(ia, ib) @ Zb @ rel(jb, ja)
             E = np.linalg.inv(Za) @ pred
             ang = np.degrees(np.arccos(np.clip(
                 (np.trace(E[:3, :3]) - 1) / 2, -1, 1)))
-            path = abs(s[ib] - s[ia]) + abs(s[ja] - s[jb])
             t_tol = trans_tol_m + drift_frac * path
             r_tol = rot_tol_deg + 0.05 * path  # ~0.05 deg/m VO rot drift
             ok[a, b] = ok[b, a] = (
                 ang <= r_tol
                 and np.linalg.norm(E[:3, 3]) <= t_tol)
-    # greedy clique: seed at max degree, grow by degree order
-    order = np.argsort(-ok.sum(1))
-    clique: list[int] = []
-    for idx in order:
-        if all(ok[idx, c] for c in clique):
-            clique.append(int(idx))
-    if len(clique) <= 1:
-        # no mutual support anywhere — distrust everything
-        return []
-    return [closures[c] for c in sorted(clique)]
+    support = ok.sum(1)
+    oppose = (local & ~ok).sum(1)
+    keep = (support >= 1) & (support >= oppose)
+    # Closures with NO comparable peer (an isolated revisit) get the
+    # lone-closure treatment if a remeasure callback exists; without
+    # one they are dropped — fail-closed, same as the lone-list case.
+    kept = [c for c, k in zip(closures, keep) if k]
+    if len(kept) == 1:
+        # a single survivor's support came from a closure that itself
+        # lost its vote — no INDEPENDENT mutual support; treat it like
+        # a lone closure (remeasure-corroborated or dropped)
+        kept = filter_consistent_closures(
+            poses, kept, rot_tol_deg, trans_tol_m, drift_frac,
+            remeasure=remeasure, max_cycle_path_m=max_cycle_path_m)
+    corroborated = []
+    if remeasure is not None:
+        for a in range(n):
+            if not comparable[a].any():
+                # isolated revisit: no peer to vote with — the
+                # lone-closure remeasure corroboration decides it
+                corroborated.extend(filter_consistent_closures(
+                    poses, [closures[a]], rot_tol_deg, trans_tol_m,
+                    drift_frac, remeasure=remeasure,
+                    max_cycle_path_m=max_cycle_path_m))
+    return kept + corroborated
 
 
 def calibrate_closure_weights(poses: np.ndarray,
                               closures: list[tuple],
                               sigma_ref_t: float = 0.1,
-                              sigma_ref_r: float = 0.01) -> list[tuple]:
+                              sigma_ref_r: float = 0.01,
+                              max_cycle_path_m: float = 150.0
+                              ) -> list[tuple]:
     """Cap each closure's per-component confidence by MEASURED
     closure-residual statistics instead of trusting the verification
     GN's covariance alone.
@@ -734,14 +844,25 @@ def calibrate_closure_weights(poses: np.ndarray,
             ia, ja = closures[a][0], closures[a][1]
             for b in range(a + 1, n):
                 ib, jb = closures[b][0], closures[b][1]
+                seg_path = abs(s[ib] - s[ia]) + abs(s[ja] - s[jb])
+                if seg_path > max_cycle_path_m:
+                    # Same comparability cap as the consistency
+                    # filter: beyond it the cycle residual measures
+                    # accumulated drift (deduction and all), not
+                    # closure error — on a multi-lap circuit the
+                    # lap-spanning pairs would set sig via their
+                    # drift noise and fade every true closure.
+                    continue
                 Zb = as_T(closures[b][2], closures[b][3])
                 E = np.linalg.inv(Za) @ (rel(ia, ib) @ Zb @ rel(jb, ja))
-                seg_path = abs(s[ib] - s[ia]) + abs(s[ja] - s[jb])
                 t_res.append(np.linalg.norm(E[:3, 3])
                              - frac_t * seg_path)
                 r_res.append(angle(E[:3, :3]) - frac_r * seg_path)
-        sig_t = max(float(np.max(t_res)), 0.02)
-        sig_r = max(float(np.max(r_res)), 1e-4)
+        if t_res:
+            sig_t = max(float(np.max(t_res)), 0.02)
+            sig_r = max(float(np.max(r_res)), 1e-4)
+        else:  # no comparable pair anywhere — lone-closure caps
+            sig_t, sig_r = 0.3, None
     else:
         sig_t, sig_r = 0.3, None
     cap_t = min(1.0, (sigma_ref_t / sig_t) ** 2)

@@ -253,13 +253,16 @@ def optimize_pose_graph(graph: PoseGraph, gn_iters: int = 8,
         # the huber point, so a fixed threshold crushes exactly the
         # edges that carry the correction (measured: 10% ATE recovery
         # at 124 deg accumulated yaw vs 80% with annealing).  Early GN
-        # iterations run quasi-quadratic (threshold 2^8 x huber,
-        # halving each iteration); by iteration 8 the schedule reaches
-        # the base threshold and the FINAL iterations enforce the true
-        # robust objective, so a genuinely wrong closure still ends
-        # downweighted at convergence.
+        # iterations run quasi-quadratic (threshold 2^k x huber,
+        # halving each iteration); the schedule reaches the base
+        # threshold HALFWAY through the run — tied to gn_iters, so the
+        # second half always enforces the true robust objective and a
+        # genuinely wrong closure ends downweighted at convergence
+        # regardless of the caller's iteration budget (a fixed k = 8
+        # left gn_iters <= 8 runs quasi-least-squares forever).
+        anneal_end = max(1, gn_iters // 2)
         huber_k = huber * jnp.maximum(
-            1.0, 2.0 ** (8 - it.astype(graph.t.dtype)))
+            1.0, 2.0 ** (anneal_end - it.astype(graph.t.dtype)))
         w_h = jnp.where(err <= huber_k, 1.0,
                         huber_k / jnp.maximum(err, 1e-12))
         w6 = _weight6(g)  # [E, 6]

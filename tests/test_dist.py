@@ -169,3 +169,24 @@ def test_distributed_pose_graph_matches_single():
     # and it actually optimized: cost strictly decreases
     assert float(graph_cost(single)) < 0.5 * float(graph_cost(graph))
     assert float(graph_cost(dist)) < 0.5 * float(graph_cost(graph))
+
+
+def test_graft_dryrun_multichip_kitti_shapes():
+    """CI coverage for the driver's multichip dryrun (VERDICT r4 #7):
+    the FULL deployment-shape path — 131k-point scans, 2048 features,
+    1226x370 grid, 8192 landmarks, 4541-pose graph — over the virtual
+    8-device mesh, exactly as the driver invokes it.  Shard-remainder
+    or per-shard-memory regressions in the sharded programs fail here,
+    not in the end-of-round MULTICHIP artifact.  (~21 s on CPU.)"""
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    if str(repo) not in sys.path:
+        sys.path.insert(0, str(repo))
+    import __graft_entry__ as graft
+
+    # conftest already pinned the 8-device virtual CPU platform; the
+    # dryrun's own env setup is a no-op in-process and its
+    # jax.config.update on the initialized backend is caught inside.
+    graft.dryrun_multichip(8)

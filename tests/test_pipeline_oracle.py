@@ -578,3 +578,9 @@ def test_pipeline_matches_literal_oracle(name):
     n_big = int((rels > 5e-3).sum())
     assert n_big <= max(1, int(0.005 * len(rels))), (
         name, n_big, len(rels), float(rels.max()))
+    # ... but the tolerated near-tie lanes still have to be the
+    # "different equally-maximal triangle" class (percent-level), not
+    # arbitrarily wrong: keep a loose absolute cap on the worst lane
+    # so a gross per-feature regression confined to a few lanes cannot
+    # hide inside the count budget.
+    assert float(rels.max()) < 0.1, (name, float(rels.max()))
