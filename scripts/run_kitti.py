@@ -85,7 +85,11 @@ def main() -> None:
 
         vo = eval_vo_sequence(seq, cfg, max_frames=args.frames)
         poses = vo["poses"]
-        cands = propose_loop_closures(poses)
+        # budget scales with sequence length (~1 candidate / 25 frames,
+        # thinned uniformly over the drive) so long multi-revisit
+        # sequences constrain their tail, not just the earliest loops
+        budget = int(np.clip(len(poses) // 25, 20, 200))
+        cands = propose_loop_closures(poses, max_candidates=budget)
         closures = []
         for (i, j) in cands:
             z = closure_constraint_from_frames(
@@ -93,7 +97,13 @@ def main() -> None:
             if z is not None:
                 closures.append((i, j, *z))
         print(f"loop closures: {len(closures)}/{len(cands)} verified")
-        opt = run_pose_graph_backend(poses, closures)
+
+        def _remeasure(a, b):
+            return closure_constraint_from_frames(
+                seq, cfg, vo["frame_ids"][a], vo["frame_ids"][b])
+
+        opt = run_pose_graph_backend(poses, closures,
+                                     remeasure=_remeasure)
         result = {"frames": len(poses), "closures": len(closures)}
         if seq.gt_poses is not None:
             gt = seq.gt_poses[vo["frame_ids"]]
