@@ -172,7 +172,7 @@ def main() -> None:
 
     # ---- leg 1b: depth association, fast rasterization -----------------
     # config.fast_rasterization: single-scatter frame ingest, <= 1 cm
-    # depth quantization; accuracy-neutral end-to-end (PARITY_r4
+    # depth quantization; accuracy-neutral end-to-end (PARITY_r5
     # config-2 fast row / DESIGN.md).  The default (exact) path stays
     # the headline; this key records the production-mode throughput.
     cfg_fast = cfg.replace(fast_rasterization=True)

@@ -569,6 +569,108 @@ def propose_loop_closures(poses: np.ndarray, min_gap: int = 100,
         heading_tol = min(2.0 * heading_tol, max_heading)
 
 
+def _appearance_descriptor(img: np.ndarray, th: int, tw: int) -> np.ndarray:
+    """Zero-mean, unit-norm average-pooled thumbnail of a grayscale
+    image — a th×tw global appearance descriptor (pooling = built-in
+    low-pass, so small viewpoint shifts move the descriptor smoothly;
+    the normalization removes global gain/offset)."""
+    H, W = img.shape
+    hh, ww = H - H % th, W - W % tw
+    t = img[:hh, :ww].astype(np.float32)
+    t = t.reshape(th, hh // th, tw, ww // tw).mean(axis=(1, 3))
+    t -= t.mean()
+    n = float(np.linalg.norm(t))
+    return (t / n).ravel() if n > 0 else t.ravel()
+
+
+def propose_loop_closures_appearance(
+        seq: KittiSequence, frame_ids, min_gap: int = 100,
+        stride: int = 2, max_candidates: int = 24,
+        min_similarity: float = 0.5,
+        thumb: tuple[int, int] = (10, 32)) -> list[tuple[int, int]]:
+    """Pose-estimate-FREE loop-closure proposal by global image
+    appearance.
+
+    The metric proposer above ranks pairs by distance on the ESTIMATED
+    trajectory, which is exactly the quantity that heavy drift
+    corrupts: under a dominant yaw/scale bias the drifted path curls
+    near itself at places that are NOT revisits, those junk pairs fill
+    the candidate budget (they have the smallest estimated distances),
+    and every verification correctly fails — 12 proposed / 0 verified
+    on the committed 220-frame 0.5°/frame-yaw + 8%-scale leg.  The
+    drift-aware radius escalation cannot fix ranking: it widens the
+    net but junk still sorts first.
+
+    Appearance ranking needs no pose estimate at all (the FAB-MAP /
+    NetVLAD insight, reduced to its minimal form): per-frame
+    descriptor = zero-mean unit-norm average-pooled thumbnail, revisit
+    candidates = high-cosine-similarity pairs.  All-pairs similarity
+    is one [F, D]·[D, F] matmul (F ≈ hundreds, D ≈ 320 — microseconds
+    on host; the same formulation sharded over a device mesh covers
+    million-frame maps).  Greedy selection by descending similarity
+    with (i, j)-neighborhood suppression spreads candidates over
+    distinct revisit events instead of stacking them on the single
+    best-matching pair.
+
+    False positives (perceptual aliasing — distinct places that look
+    alike) are expected and safe: every candidate still passes the
+    KLT + depth + GN verification gauntlet, which measures actual
+    relative geometry and rejects non-overlapping views.  Use the
+    UNION of this and `propose_loop_closures` — metric proposal wins
+    at low drift (appearance can miss revisits under strong viewpoint
+    change), appearance wins when drift dominates.
+    """
+    frame_ids = list(frame_ids)
+    ks = list(range(0, len(frame_ids), stride))
+    descs = []
+    kept = []
+    for k in ks:
+        img = seq.image(frame_ids[k])
+        if img is None:
+            continue
+        descs.append(_appearance_descriptor(img, *thumb))
+        kept.append(k)
+    if len(kept) < 2:
+        return []
+    D = np.stack(descs)  # [Fs, d]
+    S = D @ D.T  # cosine similarities (descriptors are unit-norm)
+    pairs = []
+    for b in range(len(kept)):
+        for a in range(b):
+            i, j = kept[a], kept[b]
+            if j - i < min_gap:
+                continue
+            if S[a, b] >= min_similarity:
+                pairs.append((float(S[a, b]), i, j))
+    pairs.sort(reverse=True)
+    out: list[tuple[int, int]] = []
+    sup = max(2 * stride, 4)
+    for sim, i, j in pairs:
+        if any(abs(i - pi) < sup and abs(j - pj) < sup for pi, pj in out):
+            continue
+        out.append((i, j))
+        if len(out) >= max_candidates:
+            break
+    out.sort(key=lambda p: p[1])
+    return out
+
+
+def union_closure_candidates(*cand_lists: list[tuple[int, int]],
+                             sup: int = 0) -> list[tuple[int, int]]:
+    """Union of candidate lists with optional (i, j)-neighborhood
+    dedup (sup=0 keeps exact-duplicate removal only).  Order: sorted
+    by j then i, so verification walks the trajectory forward."""
+    seen: list[tuple[int, int]] = []
+    for cands in cand_lists:
+        for (i, j) in cands:
+            if any(abs(i - pi) <= sup and abs(j - pj) <= sup
+                   for pi, pj in seen):
+                continue
+            seen.append((i, j))
+    seen.sort(key=lambda p: (p[1], p[0]))
+    return seen
+
+
 def filter_consistent_closures(poses: np.ndarray,
                                closures: list[tuple],
                                rot_tol_deg: float = 3.0,

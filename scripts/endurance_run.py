@@ -58,7 +58,9 @@ def main():
     from mono_lidar_depth_tpu import DepthEstimatorConfig
     from mono_lidar_depth_tpu.eval import (eval_vo_sequence,
                                            propose_loop_closures,
-                                           run_pose_graph_backend)
+                                           propose_loop_closures_appearance,
+                                           run_pose_graph_backend,
+                                           union_closure_candidates)
     from mono_lidar_depth_tpu.eval.kitti_eval import (
         closure_constraint_from_frames, filter_consistent_closures)
     from mono_lidar_depth_tpu.io.checkpoint import (load_checkpoint,
@@ -152,9 +154,18 @@ def main():
                 seq, cfg, fi, fj, max_features=cfg.max_features)
         return _memo[key]
 
+    # Appearance proposals consult only the images — no pose estimate
+    # — so they are computed ONCE and shared by the nominal and
+    # injected-drift legs (and stay valid in every drift regime; the
+    # metric proposer's ranking is exactly what heavy drift corrupts).
+    cands_app = propose_loop_closures_appearance(
+        seq, [int(f) for f in vo["frame_ids"]], min_gap=100, stride=4,
+        max_candidates=8 * laps)
+
     def run_backend(traj, label):
         """Full committed chain on a trajectory estimate: lap-scaled
-        drift-aware proposal, verification, consistency filter,
+        drift-aware metric proposal unioned with the pose-free
+        appearance proposal, verification, consistency filter,
         calibrated solve.  Returns the record dict."""
         # Budget ~16 candidates per lap so coverage reaches the
         # drifted tail (the r4 cap of 60 truncated ascending-j and
@@ -164,9 +175,11 @@ def main():
         # min_candidates keeps the drift-aware escalation widening
         # until the proposal covers the loop, not just the
         # least-drifted revisit.
-        cands = propose_loop_closures(
-            traj, min_gap=100, radius=8.0, stride=4,
-            max_candidates=16 * laps, min_candidates=2 * laps)
+        cands = union_closure_candidates(
+            propose_loop_closures(
+                traj, min_gap=100, radius=8.0, stride=4,
+                max_candidates=16 * laps, min_candidates=2 * laps),
+            cands_app)
         closures = []
         t0 = time.perf_counter()
         for (i, j) in cands:

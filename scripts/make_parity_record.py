@@ -74,7 +74,9 @@ def main() -> None:
     from mono_lidar_depth_tpu.eval import (eval_depth_sequence,
                                            eval_vo_sequence,
                                            propose_loop_closures,
-                                           run_pose_graph_backend)
+                                           propose_loop_closures_appearance,
+                                           run_pose_graph_backend,
+                                           union_closure_candidates)
     from mono_lidar_depth_tpu.eval.kitti_eval import (
         closure_constraint_from_frames, filter_consistent_closures)
     from mono_lidar_depth_tpu.io.kitti import KittiSequence
@@ -206,8 +208,15 @@ def main() -> None:
           flush=True)
     vo = vo_runs["reinit"]
     poses = vo["poses"]
-    cands = propose_loop_closures(poses, min_gap=30, radius=8.0, stride=2,
-                                  max_candidates=12)
+    # Production proposal = union of metric (estimate-based) and
+    # appearance (estimate-free) sources — identical chain in the
+    # nominal and high-drift legs.
+    cands = union_closure_candidates(
+        propose_loop_closures(poses, min_gap=30, radius=8.0, stride=2,
+                              max_candidates=12),
+        propose_loop_closures_appearance(
+            seq, [int(f) for f in vo["frame_ids"]], min_gap=30,
+            stride=2, max_candidates=12))
     closures = []
     for (i, j) in cands:
         z = closure_constraint_from_frames(
@@ -263,14 +272,23 @@ def main() -> None:
         drifted.append(drifted[-1] @ rel)
     drifted = np.stack(drifted)
     ate_drift = float(ate_rmse(drifted[:, :3, 3], gt[:, :3, 3]))
-    # Escalating drift-aware proposal (min_candidates keeps the
-    # escalation widening until it covers the loop) — the r4 leg's
-    # fixed tight budget (radius 2.0, stop at first non-empty pass)
-    # proposed 3 pairs on the drifted estimate, 1 verified, and the
-    # lone closure died in the consistency filter: recorded failure.
-    cands_d = propose_loop_closures(drifted, min_gap=30, radius=8.0,
-                                    stride=2, max_candidates=12,
-                                    min_candidates=6)
+    # Two proposal sources, unioned: the escalating drift-aware metric
+    # proposal (min_candidates keeps it widening until it covers the
+    # loop) AND the pose-estimate-free appearance proposal.  The metric
+    # proposal alone fails here BY RANKING, not by radius: under a
+    # dominant yaw/scale bias the drifted path curls near itself at
+    # non-revisits, those junk pairs sort first (smallest estimated
+    # distance) and fill the budget, and all 12 verifications
+    # correctly fail — the r4/early-r5 recorded failures.  Appearance
+    # similarity never consults the corrupted estimate, so its
+    # candidates stay true revisits in every drift regime.
+    cands_d = union_closure_candidates(
+        propose_loop_closures(drifted, min_gap=30, radius=8.0,
+                              stride=2, max_candidates=12,
+                              min_candidates=6),
+        propose_loop_closures_appearance(
+            seq, [int(f) for f in vo["frame_ids"]], min_gap=30,
+            stride=2, max_candidates=12))
     closures_d = []
     for (i, j) in cands_d:
         z = closure_constraint_from_frames(
