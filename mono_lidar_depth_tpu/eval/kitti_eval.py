@@ -980,6 +980,27 @@ def calibrate_closure_weights(poses: np.ndarray,
     return out
 
 
+def _so3_log(R: np.ndarray) -> np.ndarray:
+    """Rotation-vector log of a single rotation matrix (numpy)."""
+    c = np.clip((np.trace(R) - 1.0) / 2.0, -1.0, 1.0)
+    th = np.arccos(c)
+    if th < 1e-8:
+        return np.zeros(3)
+    v = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0],
+                  R[1, 0] - R[0, 1]])
+    return v * (th / (2.0 * np.sin(th)))
+
+
+def _so3_exp(w: np.ndarray) -> np.ndarray:
+    """Rotation matrix of a rotation vector (numpy Rodrigues)."""
+    th = float(np.linalg.norm(w))
+    if th < 1e-12:
+        return np.eye(3)
+    k = w / th
+    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    return np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * (K @ K)
+
+
 def run_pose_graph_backend(poses: np.ndarray,
                            closures: Iterable[tuple],
                            closure_weight: float = 1.0,
@@ -988,6 +1009,7 @@ def run_pose_graph_backend(poses: np.ndarray,
                            gn_iters: int = 20, cg_iters: int = 250,
                            consistency_filter: bool = True,
                            calibrate_weights: bool = True,
+                           bias_alternations: int = 2,
                            remeasure=None) -> np.ndarray:
     """Config 4: optimize a trajectory with odometry-chain edges plus
     loop-closure edges.
@@ -1038,14 +1060,25 @@ def run_pose_graph_backend(poses: np.ndarray,
     w_ot = (0.1 / max(odom_sigma_t, 1e-4)) ** 2
     w_or = (0.01 / max(np.radians(odom_sigma_rot_deg), 1e-5)) ** 2
     w_odom = np.array([w_ot] * 3 + [w_or] * 3, np.float32)
+    # Shared odometry-bias state (see the alternation below): every
+    # chain measurement is corrected by one rotation vector + one log
+    # scale before entering the graph.
+    bias_w = np.zeros(3)
+    bias_s = 0.0
+
+    def odom_rel(k):
+        bR = _so3_exp(bias_w).astype(np.float32)
+        return (R[k].T @ R[k + 1]) @ bR, \
+            np.float32(np.exp(bias_s)) * (R[k].T @ (t[k + 1] - t[k]))
 
     def solve(cls):
         ei, ej, ZR, Zt, w = [], [], [], [], []
         for k in range(F - 1):
             ei.append(k)
             ej.append(k + 1)
-            ZR.append(R[k].T @ R[k + 1])
-            Zt.append(R[k].T @ (t[k + 1] - t[k]))
+            zr, zt = odom_rel(k)
+            ZR.append(zr)
+            Zt.append(zt)
             w.append(w_odom)
         for c in cls:
             i, j, zr, zt = c[:4]
@@ -1070,7 +1103,7 @@ def run_pose_graph_backend(poses: np.ndarray,
         res[:, :3, 3] = np.asarray(out.t)
         return res
 
-    if not (calibrate_weights and closures):
+    if not closures:
         return solve(closures)
     # Pre-solve calibration: cap confidences by drift-deducted cycle
     # statistics on the INPUT trajectory (calibrate_closure_weights —
@@ -1085,7 +1118,188 @@ def run_pose_graph_backend(poses: np.ndarray,
     # the solution" does not separate good closures from bad ones
     # there.  Mis-registration protection lives in the verification
     # two-tier test and the pairwise-consistency filter instead.
-    return solve(calibrate_closure_weights(poses, closures))
+    cls = calibrate_closure_weights(poses, closures) \
+        if calibrate_weights else closures
+
+    # Odometry-BIAS estimation: closures fix a topology limit the
+    # per-pose solve cannot.  On a single-lap loop every closure ties
+    # the start region to the end region; the interior is constrained
+    # only by odometry, so a SYSTEMATIC per-frame odometry error (yaw
+    # bias, scale error — the classic uncalibrated-VO model) leaves
+    # the interior bent no matter how the solver is tuned (measured,
+    # 1.0°/frame + 10% scale, 9 true closures used: 14.6% recovery,
+    # invariant to gn_iters ×5, calibration on/off, closure_weight ×4;
+    # the robust loss rightly treats 180°-misclosure closures as
+    # outliers, so the solve cannot even be read back for the bias).
+    # But that same systematic error is a 2-parameter GLOBAL the
+    # closure MEASUREMENTS observe directly through chain composition:
+    # for closure (i, j), log(pred_R(i→j)ᵀ · Z_R) ≈ (j−i)·(−bias_rot)
+    # (rotation composition is translation-free, so this estimate
+    # needs no solve and no scale knowledge), and once rotations are
+    # corrected the chain straightens, making |Z_t| / |pred_t| ≈ the
+    # per-edge scale factor (end-to-end displacement is linear in a
+    # uniform scale).  Median over closures for robustness, clamp each
+    # step (≤2°/frame, |log s| ≤ 0.2), iterate (scale geometry feeds
+    # back into prediction), then ONE solve with the corrected chain,
+    # accepted only if it releases closure tension vs the uncorrected
+    # solve.  Exactly neutral for unbiased VO: the median discrepancy
+    # per frame is noise/(j−i) ~ 1e-4 rad, under the fold-in floor.
+    if bias_alternations > 0 and F > 2 and len(cls) >= 2:
+
+        def chain_pred():
+            Tc = np.tile(np.eye(4), (F, 1, 1))
+            for k in range(F - 1):
+                zr, zt = odom_rel(k)
+                Tk = np.eye(4)
+                Tk[:3, :3] = zr.astype(np.float64)
+                Tk[:3, 3] = zt.astype(np.float64)
+                Tc[k + 1] = Tc[k] @ Tk
+            return Tc
+
+        def misclosure(Tc):
+            """Measurement-space misclosure: chain-composed odometry
+            prediction vs closure measurement, mean over closures.
+            This — NOT post-solve closure tension — is the accept
+            metric: the solver can zero closure residuals by bending
+            the trajectory near the endpoints while the interior
+            stays wrong, so at the optimum the tension of a
+            bias-corrected and an uncorrected chain are both at the
+            closure-noise floor and cannot be compared.  The
+            measurement-space metric never involves a solve and is
+            reduced exactly when the 2-parameter bias actually
+            explains the closures."""
+            m = []
+            for c in cls:
+                i, j, zr_c, zt_c = c[:4]
+                pred = np.linalg.inv(Tc[i]) @ Tc[j]
+                m.append(float(np.linalg.norm(_so3_log(
+                    pred[:3, :3].T @ np.asarray(zr_c, np.float64))))
+                    + 0.05 * float(np.linalg.norm(
+                        pred[:3, 3] - np.asarray(zt_c))))
+            return float(np.mean(m))
+
+        m0 = misclosure(chain_pred())
+        bias_w_prev, bias_s_prev = bias_w.copy(), bias_s
+
+        # --- Stage 1: GLOBAL search over angle-per-frame. ---
+        # The incremental estimate log(pred_R^T Z_R)/gap ALIASES: a
+        # rotation log only represents angles <= 180°, so when
+        # |bias| * gap crosses 180° the recovered axis flips and a
+        # local estimator walks the wrong way (measured on the real
+        # 220-frame leg: gaps ~184-218 at 1.0°/frame -> every
+        # discrepancy wrapped, recovery 14.6% -> -10%).  The bias is
+        # identifiable anyway because closures have DIFFERENT gaps
+        # (aliases that fit one gap miss the others) — but only to a
+        # GLOBAL search, so: take the rotation axis from the data
+        # (sign-aligned mean of the per-closure logs — wrapping flips
+        # signs but preserves the axis line for single-axis bias),
+        # scan angle-per-frame over ±2.5° evaluating the true
+        # measurement-space misclosure, and take the argmin.
+        Tc0 = chain_pred()
+        logs = []
+        for c in cls:
+            i, j, zr_c, _ = c[:4]
+            pred = np.linalg.inv(Tc0[i]) @ Tc0[j]
+            logs.append(_so3_log(pred[:3, :3].T
+                                 @ np.asarray(zr_c, np.float64)))
+        L = np.stack(logs)
+        ref = L[int(np.argmax(np.linalg.norm(L, axis=1)))]
+        if float(np.linalg.norm(ref)) > 1e-9:
+            sgn = np.where(L @ ref < 0, -1.0, 1.0)
+            axis = (L * sgn[:, None]).mean(axis=0)
+            na = float(np.linalg.norm(axis))
+        else:
+            na = 0.0
+        if na > 1e-9:
+            axis /= na
+            base_w = bias_w.copy()
+            best_u, best_m = 0.0, misclosure(Tc0)
+            for u in np.linspace(-np.radians(2.5), np.radians(2.5), 101):
+                bias_w = np.asarray(_so3_log(
+                    _so3_exp(base_w) @ _so3_exp(u * axis)))
+                m = misclosure(chain_pred())
+                if m < best_m:
+                    best_u, best_m = u, m
+            bias_w = np.asarray(_so3_log(
+                _so3_exp(base_w) @ _so3_exp(best_u * axis)))
+
+        # Scale bias is deliberately NOT estimated.  It looked
+        # estimable (end-to-end displacement is linear in a uniform
+        # per-edge scale) but both estimators failed on measurement:
+        # per-closure |Z_t|/|pred_t| ratio medians carry O(1) noise
+        # (closure baselines of 0-6 m vs metres of accumulated chain
+        # drift over the gap), and a grid argmin of the misclosure
+        # jointly overfits with rotation — every closure spans nearly
+        # the SAME chain, so the accumulated random-walk noise is
+        # common-mode and a 1-parameter scale absorbs it (measured:
+        # grid picked s=+0.02 where truth is -0.095, ATE 2.2 -> 9.4 m).
+        # Unlike rotation bias — whose position damage grows
+        # quadratically with path and which the robust solve treats as
+        # outlier misclosure — a scale error's damage is linear and
+        # the solver itself distributes the translation misclosure
+        # along the chain, so leaving scale to the solve is both safer
+        # and empirically as good.
+
+        # --- Stage 2: monotone local refinement. ---
+        # Inside the unwrapped basin the incremental estimator
+        # (median per-closure log/gap) polishes rotation below the
+        # grid resolution; every step is accepted only if it REDUCES
+        # the measurement-space misclosure — a noisy estimate cannot
+        # walk the bias away from the grid optimum.
+        m_cur = misclosure(chain_pred())
+        for _ in range(bias_alternations):
+            Tc = chain_pred()
+            dws = []
+            for c in cls:
+                i, j, zr_c, zt_c = c[:4]
+                pred = np.linalg.inv(Tc[i]) @ Tc[j]
+                gap = j - i
+                dws.append(_so3_log(
+                    pred[:3, :3].T @ np.asarray(zr_c, np.float64)) / gap)
+            dw = np.median(np.stack(dws), axis=0)
+            n = float(np.linalg.norm(dw))
+            if n > np.radians(2.0):
+                dw *= np.radians(2.0) / n
+            if n < 2e-4:
+                break  # unbiased odometry — nothing to fold in
+            w_try = np.asarray(_so3_log(_so3_exp(bias_w) @ _so3_exp(dw)))
+            w_keep = bias_w
+            bias_w = w_try
+            m_try = misclosure(chain_pred())
+            if m_try < m_cur:
+                m_cur = m_try
+            else:
+                bias_w = w_keep
+                break
+        # Accept only a SUBSTANTIAL reduction (x0.7): a 3-parameter
+        # model fitted to >= 2 closures x 6 DoF cannot overfit noise
+        # into a 30% mean improvement; anything less reverts to the
+        # plain chain.
+        if misclosure(chain_pred()) >= 0.7 * m0:
+            bias_w, bias_s = bias_w_prev, bias_s_prev
+        elif float(np.linalg.norm(bias_w)) > 1e-6:
+            # Fold the accepted bias INTO the trajectory: rebuild the
+            # poses by dead-reckoning the corrected measurements and
+            # zero the bias (odom_rel recomputes measurements from
+            # R/t, so the corrected chain reproduces them exactly and
+            # nothing double-applies).  This also re-initializes the
+            # solve at the corrected chain — the original poses are
+            # the WRONG linearization point once the measurements are
+            # corrected: they sit up to hundreds of accumulated
+            # degrees away, and 20 GN steps cannot cross that
+            # nonconvexity (measured: perfect bias estimate, solve
+            # from drifted init -> 11 m ATE; from the corrected chain
+            # -> the expected ~1-2 m).
+            Tc = chain_pred()
+            P0 = np.eye(4)
+            P0[:3, :3] = R[0].astype(np.float64)
+            P0[:3, 3] = t[0].astype(np.float64)
+            init = P0[None] @ Tc
+            R = init[:, :3, :3].astype(np.float32)
+            t = init[:, :3, 3].astype(np.float32)
+            bias_w = np.zeros(3)
+            bias_s = 0.0
+    return solve(cls)
 
 
 def closure_constraint_from_frames(seq: KittiSequence,

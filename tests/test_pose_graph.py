@@ -140,3 +140,85 @@ def test_component_weights_gate_translation(rng):
         np.asarray(out.t[0]) - np.asarray(out.t[N - 1]))
     assert np.linalg.norm(t_fin - Zt_bad) > 15.0, (
         "zero-weight translation was pulled toward the bogus measurement")
+
+
+def test_odometry_bias_estimation_recovers_systematic_drift():
+    """A systematic per-frame odometry bias (yaw + scale — the classic
+    uncalibrated-VO error model) is unrecoverable by the per-pose solve
+    alone when closures only tie the loop's endpoints: the robust loss
+    treats the enormous misclosure as outlier, the interior stays bent,
+    and recovery plateaus (measured: 14.6% at 1.0°/frame regardless of
+    iterations/weights).  run_pose_graph_backend's bias estimation
+    reads the rotation bias directly from the closure measurements vs
+    the chain-composed prediction — data-derived axis + global
+    angle-per-frame grid (the per-closure log ALIASES past 180° of
+    accumulated discrepancy, so a local estimator walks the wrong
+    way), monotone refinement, then the accepted bias is folded into
+    the trajectory so the solve starts at the corrected chain instead
+    of hundreds of degrees away.  The 1.5°/frame injection here sits
+    squarely in the wrapped regime (gap 170 → 255° discrepancy).
+    Scale bias is deliberately NOT estimated (see the in-code note:
+    it overfits common-mode chain noise); the solve from the
+    straightened init absorbs the modest scale error.  Also asserts
+    the no-op guarantee: on unbiased odometry the estimator must
+    leave the solution unchanged (fold-in floor + 30%-reduction
+    accept gate)."""
+    from mono_lidar_depth_tpu.eval.kitti_eval import (
+        _so3_exp, run_pose_graph_backend)
+    from mono_lidar_depth_tpu.vo.metrics import ate_rmse
+
+    F = 200
+    th = np.linspace(0, 2 * np.pi, F)
+    rad = 20.0
+    gt = np.tile(np.eye(4), (F, 1, 1))
+    for k in range(F):
+        c, s = np.cos(th[k]), np.sin(th[k])
+        gt[k, :3, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        gt[k, :3, 3] = [rad * np.sin(th[k]), 0.0,
+                        rad * (1 - np.cos(th[k]))]
+    rng = np.random.default_rng(0)
+    yaw = np.radians(1.5)
+    dR = _so3_exp(np.array([0.0, yaw, 0.0]))
+    drift = [gt[0]]
+    for k in range(F - 1):
+        rel = np.linalg.inv(gt[k]) @ gt[k + 1]
+        rel[:3, :3] = rel[:3, :3] @ dR @ _so3_exp(
+            rng.normal(0, 0.002, 3))
+        rel[:3, 3] = rel[:3, 3] * 1.03 + rng.normal(0, 0.01, 3)
+        drift.append(drift[-1] @ rel)
+    drift = np.stack(drift)
+    closures = []
+    for (i, j) in [(0, 170), (5, 175), (10, 180),
+                   (15, 185), (20, 190), (25, 195)]:
+        Z = np.linalg.inv(gt[i]) @ gt[j]
+        closures.append((i, j,
+                         Z[:3, :3] @ _so3_exp(rng.normal(0, 0.003, 3)),
+                         Z[:3, 3] + rng.normal(0, 0.05, 3),
+                         np.ones(6, np.float32)))
+    ate_drift = float(ate_rmse(drift[:, :3, 3], gt[:, :3, 3]))
+    assert ate_drift > 20.0  # bias injection dominates
+
+    opt0 = run_pose_graph_backend(drift, closures,
+                                  consistency_filter=False,
+                                  bias_alternations=0)
+    opt2 = run_pose_graph_backend(drift, closures,
+                                  consistency_filter=False)
+    ate0 = float(ate_rmse(opt0[:, :3, 3], gt[:, :3, 3]))
+    ate2 = float(ate_rmse(opt2[:, :3, 3], gt[:, :3, 3]))
+    # bias estimation must recover the drift almost completely AND
+    # beat the bias-blind solve decisively (measured: drift 28.7 m,
+    # bias-blind 21.7 m, bias-estimated 0.61 m)
+    assert ate2 < 0.1 * ate_drift, (ate_drift, ate0, ate2)
+    assert ate2 < 0.5 * ate0, (ate0, ate2)
+
+    # no-op guarantee on unbiased odometry: identical output
+    clean_closures = []
+    for (i, j) in [(0, 170), (10, 180), (20, 190)]:
+        Z = np.linalg.inv(gt[i]) @ gt[j]
+        clean_closures.append((i, j, Z[:3, :3].copy(), Z[:3, 3].copy()))
+    a = run_pose_graph_backend(gt.copy(), clean_closures,
+                               consistency_filter=False,
+                               bias_alternations=0)
+    b = run_pose_graph_backend(gt.copy(), clean_closures,
+                               consistency_filter=False)
+    assert np.allclose(a, b, atol=1e-6)
