@@ -1144,7 +1144,20 @@ def run_pose_graph_backend(poses: np.ndarray,
     # accepted only if it releases closure tension vs the uncorrected
     # solve.  Exactly neutral for unbiased VO: the median discrepancy
     # per frame is noise/(j−i) ~ 1e-4 rad, under the fold-in floor.
-    if bias_alternations > 0 and F > 2 and len(cls) >= 2:
+    # Estimation set: only closures whose gap the ±2.5°/101-step grid
+    # can RESOLVE (step 0.05°/frame; bound the per-step discrepancy
+    # swing to ~25° -> gap <= 500).  At multi-lap scale closures span
+    # gaps in the thousands, where one grid step swings the predicted
+    # rotation by >100° — the misclosure of those closures is
+    # effectively random across the scan, and with enough of them a
+    # spurious minimum passes the accept gate (measured, 2048-frame
+    # endurance rerun: spurious bias accepted -> dead-reckoned init
+    # thousands of degrees wrong -> solve diverged to 1.3e7 m ATE).
+    # Long-gap closures still go to the SOLVE — they are just not used
+    # to estimate the 3-parameter bias, which short gaps determine.
+    max_bias_gap = 500
+    est = [c for c in cls if 0 < (c[1] - c[0]) <= max_bias_gap]
+    if bias_alternations > 0 and F > 2 and len(est) >= 2:
 
         def chain_pred():
             Tc = np.tile(np.eye(4), (F, 1, 1))
@@ -1158,18 +1171,18 @@ def run_pose_graph_backend(poses: np.ndarray,
 
         def misclosure(Tc):
             """Measurement-space misclosure: chain-composed odometry
-            prediction vs closure measurement, mean over closures.
-            This — NOT post-solve closure tension — is the accept
-            metric: the solver can zero closure residuals by bending
-            the trajectory near the endpoints while the interior
-            stays wrong, so at the optimum the tension of a
-            bias-corrected and an uncorrected chain are both at the
-            closure-noise floor and cannot be compared.  The
-            measurement-space metric never involves a solve and is
-            reduced exactly when the 2-parameter bias actually
-            explains the closures."""
+            prediction vs closure measurement, mean over the
+            ESTIMATION closures.  This — NOT post-solve closure
+            tension — is the accept metric: the solver can zero
+            closure residuals by bending the trajectory near the
+            endpoints while the interior stays wrong, so at the
+            optimum the tension of a bias-corrected and an
+            uncorrected chain are both at the closure-noise floor and
+            cannot be compared.  The measurement-space metric never
+            involves a solve and is reduced exactly when the
+            3-parameter bias actually explains the closures."""
             m = []
-            for c in cls:
+            for c in est:
                 i, j, zr_c, zt_c = c[:4]
                 pred = np.linalg.inv(Tc[i]) @ Tc[j]
                 m.append(float(np.linalg.norm(_so3_log(
@@ -1197,7 +1210,7 @@ def run_pose_graph_backend(poses: np.ndarray,
         # measurement-space misclosure, and take the argmin.
         Tc0 = chain_pred()
         logs = []
-        for c in cls:
+        for c in est:
             i, j, zr_c, _ = c[:4]
             pred = np.linalg.inv(Tc0[i]) @ Tc0[j]
             logs.append(_so3_log(pred[:3, :3].T
@@ -1210,16 +1223,44 @@ def run_pose_graph_backend(poses: np.ndarray,
             na = float(np.linalg.norm(axis))
         else:
             na = 0.0
+        # Occam prior on the bias magnitude.  On a multi-lap circuit
+        # the revisit gaps are COMMENSURATE (multiples of the lap
+        # length), so the misclosure profile has perfect aliases at
+        # multiples of 360°/lap per frame — and the alias can even
+        # score BETTER than the true bias by absorbing common-mode
+        # noise (measured, 3-lap synthetic with 0.3°/frame truth:
+        # alias at 2.12°/frame scored 0.135 vs truth's 0.270, and the
+        # folded alias took ATE 2.0 -> 22.3 m).  No data statistic can
+        # break a perfect alias; physics can: a real VO yaw bias is a
+        # small fraction of a degree per frame, while the first alias
+        # sits at 360°/lap ~ 1.6-1.8°.  The selection objective is
+        # therefore misclosure + BIAS_PRIOR·|bias| (rad/frame), strong
+        # enough to reject commensurate aliases, weak enough that a
+        # genuine 1°/frame bias (penalty ~0.1) still dominates the
+        # multi-radian unbiased misclosure it explains.
+        BIAS_PRIOR = 6.0
+
+        def score(m):
+            return m + BIAS_PRIOR * float(np.linalg.norm(bias_w))
+
         if na > 1e-9:
             axis /= na
             base_w = bias_w.copy()
-            best_u, best_m = 0.0, misclosure(Tc0)
-            for u in np.linspace(-np.radians(2.5), np.radians(2.5), 101):
+            best_u, best_s = 0.0, score(misclosure(Tc0))
+            # Adaptive resolution: one grid step must swing the
+            # longest estimation gap's predicted rotation by <= 10°,
+            # or the profile is undersampled and the true minimum can
+            # fall between samples.
+            max_gap = max(c[1] - c[0] for c in est)
+            npts = int(np.ceil(np.radians(5.0)
+                               / (np.radians(10.0) / max_gap))) + 1
+            npts = min(max(npts, 101), 1001) | 1
+            for u in np.linspace(-np.radians(2.5), np.radians(2.5), npts):
                 bias_w = np.asarray(_so3_log(
                     _so3_exp(base_w) @ _so3_exp(u * axis)))
-                m = misclosure(chain_pred())
-                if m < best_m:
-                    best_u, best_m = u, m
+                s = score(misclosure(chain_pred()))
+                if s < best_s:
+                    best_u, best_s = u, s
             bias_w = np.asarray(_so3_log(
                 _so3_exp(base_w) @ _so3_exp(best_u * axis)))
 
@@ -1246,11 +1287,11 @@ def run_pose_graph_backend(poses: np.ndarray,
         # grid resolution; every step is accepted only if it REDUCES
         # the measurement-space misclosure — a noisy estimate cannot
         # walk the bias away from the grid optimum.
-        m_cur = misclosure(chain_pred())
+        s_cur = score(misclosure(chain_pred()))
         for _ in range(bias_alternations):
             Tc = chain_pred()
             dws = []
-            for c in cls:
+            for c in est:
                 i, j, zr_c, zt_c = c[:4]
                 pred = np.linalg.inv(Tc[i]) @ Tc[j]
                 gap = j - i
@@ -1262,12 +1303,11 @@ def run_pose_graph_backend(poses: np.ndarray,
                 dw *= np.radians(2.0) / n
             if n < 2e-4:
                 break  # unbiased odometry — nothing to fold in
-            w_try = np.asarray(_so3_log(_so3_exp(bias_w) @ _so3_exp(dw)))
             w_keep = bias_w
-            bias_w = w_try
-            m_try = misclosure(chain_pred())
-            if m_try < m_cur:
-                m_cur = m_try
+            bias_w = np.asarray(_so3_log(_so3_exp(bias_w) @ _so3_exp(dw)))
+            s_try = score(misclosure(chain_pred()))
+            if s_try < s_cur:
+                s_cur = s_try
             else:
                 bias_w = w_keep
                 break
@@ -1275,6 +1315,8 @@ def run_pose_graph_backend(poses: np.ndarray,
         # model fitted to >= 2 closures x 6 DoF cannot overfit noise
         # into a 30% mean improvement; anything less reverts to the
         # plain chain.
+        folded = False
+        R_orig, t_orig = R, t
         if misclosure(chain_pred()) >= 0.7 * m0:
             bias_w, bias_s = bias_w_prev, bias_s_prev
         elif float(np.linalg.norm(bias_w)) > 1e-6:
@@ -1299,6 +1341,42 @@ def run_pose_graph_backend(poses: np.ndarray,
             t = init[:, :3, 3].astype(np.float32)
             bias_w = np.zeros(3)
             bias_s = 0.0
+            folded = True
+        if folded:
+            # Divergence-ONLY guard: a folded bias changes the solve's
+            # initialization, and a wrong fold can put it somewhere GN
+            # cannot recover from (diverged solutions reach 1e7 m).
+            # Solve BOTH ways; keep the bias solve unless it is
+            # non-finite or its residual closure tension is an order
+            # of magnitude beyond the plain solve's.  Deliberately NOT
+            # a straight <= comparison: post-solve tension cannot rank
+            # two healthy solves — the plain solve zeroes closure
+            # residuals by bending near the endpoints while its
+            # interior stays wrong (measured: plain tension 0.0155 <
+            # bias tension 0.0202 with plain ATE 10x worse) — but a
+            # diverged solve has astronomic tension and never fits
+            # inside the 10x + 0.1 envelope.
+            out_bias = solve(cls)
+            R, t = R_orig, t_orig
+            out_plain = solve(cls)
+
+            def _tension(o):
+                errs = []
+                for c in cls:
+                    i, j, zr_c, zt_c = c[:4]
+                    rel_R = o[i, :3, :3].T @ o[j, :3, :3]
+                    rel_t = o[i, :3, :3].T @ (o[j, :3, 3] - o[i, :3, 3])
+                    errs.append(float(np.linalg.norm(_so3_log(
+                        np.asarray(zr_c, np.float64).T @ rel_R)))
+                        + 0.05 * float(np.linalg.norm(
+                            rel_t - np.asarray(zt_c))))
+                return float(np.mean(errs))
+
+            tb = _tension(out_bias)
+            if np.isfinite(out_bias).all() \
+                    and tb <= 10.0 * _tension(out_plain) + 0.1:
+                return out_bias
+            return out_plain
     return solve(cls)
 
 

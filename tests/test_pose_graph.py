@@ -222,3 +222,67 @@ def test_odometry_bias_estimation_recovers_systematic_drift():
     b = run_pose_graph_backend(gt.copy(), clean_closures,
                                consistency_filter=False)
     assert np.allclose(a, b, atol=1e-6)
+
+
+def test_odometry_bias_multilap_alias_rejected():
+    """Multi-lap circuits make revisit gaps COMMENSURATE (multiples of
+    the lap length), so the bias-estimation misclosure profile has
+    perfect aliases at 360°/lap per frame — and an alias can score
+    better than the truth by absorbing common-mode chain noise
+    (measured: alias accepted -> ATE 2.0 -> 22.3 m on the 3-lap
+    synthetic; at endurance scale the folded alias diverged the solve
+    to 1e7 m).  The Occam prior on |bias| in the selection objective
+    must reject the alias: with a true 0.4°/frame yaw bias the bias
+    path must beat the bias-blind solve, and with NO bias the output
+    must be bit-identical (no-op guarantee)."""
+    from mono_lidar_depth_tpu.eval.kitti_eval import (
+        _so3_exp, run_pose_graph_backend)
+    from mono_lidar_depth_tpu.vo.metrics import ate_rmse
+
+    LAP, NLAP = 150, 2
+    F = LAP * NLAP
+    rad = 15.0
+    gt = np.tile(np.eye(4), (F, 1, 1))
+    for k in range(F):
+        a = 2 * np.pi * (k % LAP) / LAP
+        c, s = np.cos(a), np.sin(a)
+        gt[k, :3, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        gt[k, :3, 3] = [rad * np.sin(a), 0.0, rad * (1 - np.cos(a))]
+    rng = np.random.default_rng(1)
+    cls = []
+    for (i, j) in [(0, 150), (30, 180), (60, 210), (90, 240),
+                   (120, 270)]:
+        Z = np.linalg.inv(gt[i]) @ gt[j]
+        cls.append((i, j, Z[:3, :3] @ _so3_exp(rng.normal(0, 0.003, 3)),
+                    Z[:3, 3] + rng.normal(0, 0.05, 3),
+                    np.ones(6, np.float32)))
+
+    def integrate(yaw_deg, scale):
+        dR = _so3_exp(np.array([0.0, np.radians(yaw_deg), 0.0]))
+        r = np.random.default_rng(1)
+        out = [gt[0]]
+        for k in range(F - 1):
+            rel = np.linalg.inv(gt[k]) @ gt[k + 1]
+            rel[:3, :3] = rel[:3, :3] @ dR @ _so3_exp(
+                r.normal(0, 0.003, 3))
+            rel[:3, 3] = rel[:3, 3] * scale + r.normal(0, 0.015, 3)
+            out.append(out[-1] @ rel)
+        return np.stack(out)
+
+    drift = integrate(0.4, 1.02)
+    ate_d = float(ate_rmse(drift[:, :3, 3], gt[:, :3, 3]))
+    assert ate_d > 5.0
+    o0 = run_pose_graph_backend(drift, cls, consistency_filter=False,
+                                bias_alternations=0)
+    o2 = run_pose_graph_backend(drift, cls, consistency_filter=False)
+    a0 = float(ate_rmse(o0[:, :3, 3], gt[:, :3, 3]))
+    a2 = float(ate_rmse(o2[:, :3, 3], gt[:, :3, 3]))
+    # measured: drift 9.65, bias-blind 0.50, bias path 0.28
+    assert a2 < 0.05 * ate_d, (ate_d, a0, a2)
+    assert a2 < 0.8 * a0, (a0, a2)
+
+    clean = integrate(0.0, 1.0)
+    c0 = run_pose_graph_backend(clean, cls, consistency_filter=False,
+                                bias_alternations=0)
+    c2 = run_pose_graph_backend(clean, cls, consistency_filter=False)
+    assert np.allclose(c0, c2, atol=1e-6)
