@@ -318,17 +318,28 @@ def main() -> None:
     # ---- success-rate vs lidar density (reconciliation) ---------------
     print("[5/8] success-rate vs lidar-density sweep (subprocess)",
           flush=True)
-    try:
-        out = subprocess.run(
-            [sys.executable, str(REPO / "scripts" / "exp_success_rate.py"),
-             "--frames", "60"],
-            capture_output=True, text=True, timeout=3600, cwd=str(REPO))
-        lines = [json.loads(ln) for ln in out.stdout.splitlines()
-                 if ln.startswith("{\"lidar_rows\"")]
-        rec["density_sweep"] = lines
-    except Exception as e:  # pragma: no cover
-        rec["density_sweep"] = [{"error": str(e)}]
+
+    def _sweep(extra_args: list) -> list:
+        try:
+            out = subprocess.run(
+                [sys.executable,
+                 str(REPO / "scripts" / "exp_success_rate.py"),
+                 "--frames", "60", *extra_args],
+                capture_output=True, text=True, timeout=3600,
+                cwd=str(REPO))
+            return [json.loads(ln) for ln in out.stdout.splitlines()
+                    if ln.startswith("{\"lidar_rows\"")]
+        except Exception as e:  # pragma: no cover
+            return [{"error": str(e)}]
+
+    rec["density_sweep"] = _sweep([])
+    # Improved-road-mode leg at reference-like 64-beam density: the
+    # row the 81.6%-class claims trace to (any-far veto is the
+    # reference's own defect, DepthEstimator.cpp:815-816).
+    rec["density_sweep_veto_off"] = _sweep(
+        ["--no-far-veto", "--rows", "20", "64"])
     print("   ", json.dumps(rec["density_sweep"]), flush=True)
+    print("   ", json.dumps(rec["density_sweep_veto_off"]), flush=True)
 
     # ---- scaling table (virtual mesh, separate CPU process) ----------
     print("[6/8] scaling table (subprocess, virtual 8-device mesh)",
@@ -514,6 +525,21 @@ def _render_md(rec: dict, tag: str) -> str:
             "fixed and varies only vertical lidar density — see "
             "DESIGN.md for the conclusion drawn from it.",
         ]
+    sweep_off = rec.get("density_sweep_veto_off", [])
+    if sweep_off and "lidar_rows" in sweep_off[0]:
+        lines += [
+            "",
+            "Same sweep with the improved road mode "
+            "(`road_any_far_veto=False` — drops the reference's own "
+            "any-far defect):",
+            "",
+            "| lidar rows | success (all) | success (lidar-covered) |",
+            "|---|---|---|",
+        ]
+        for row in sweep_off:
+            lines.append(
+                f"| {row['lidar_rows']} | {100*row['success_all']:.1f}% "
+                f"| {100*row['success_covered']:.1f}% |")
     lines += [
         "",
         "## Scaling (virtual 8-device mesh)",
