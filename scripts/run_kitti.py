@@ -78,7 +78,9 @@ def main() -> None:
         import numpy as np
 
         from mono_lidar_depth_tpu.eval import (
-            eval_vo_sequence, propose_loop_closures, run_pose_graph_backend)
+            eval_vo_sequence, propose_loop_closures,
+            propose_loop_closures_appearance, run_pose_graph_backend,
+            union_closure_candidates)
         from mono_lidar_depth_tpu.eval.kitti_eval import (
             closure_constraint_from_frames)
         from mono_lidar_depth_tpu.vo.metrics import ate_rmse
@@ -87,9 +89,17 @@ def main() -> None:
         poses = vo["poses"]
         # budget scales with sequence length (~1 candidate / 25 frames,
         # thinned uniformly over the drive) so long multi-revisit
-        # sequences constrain their tail, not just the earliest loops
+        # sequences constrain their tail, not just the earliest loops.
+        # Union of the metric (estimate-based) and appearance
+        # (estimate-free) sources — the committed production chain;
+        # appearance keeps proposing true revisits when drift corrupts
+        # the estimate's ranking.
         budget = int(np.clip(len(poses) // 25, 20, 200))
-        cands = propose_loop_closures(poses, max_candidates=budget)
+        cands = union_closure_candidates(
+            propose_loop_closures(poses, max_candidates=budget),
+            propose_loop_closures_appearance(
+                seq, [int(f) for f in vo["frame_ids"]],
+                max_candidates=budget // 2))
         closures = []
         for (i, j) in cands:
             z = closure_constraint_from_frames(
