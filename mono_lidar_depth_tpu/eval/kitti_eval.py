@@ -1159,15 +1159,28 @@ def run_pose_graph_backend(poses: np.ndarray,
     est = [c for c in cls if 0 < (c[1] - c[0]) <= max_bias_gap]
     if bias_alternations > 0 and F > 2 and len(est) >= 2:
 
+        R64 = R.astype(np.float64)
+        t64 = t.astype(np.float64)
+        rel_R_all = np.einsum("nji,njk->nik", R64[:-1], R64[1:])
+        rel_t_all = np.einsum("nji,nj->ni", R64[:-1], t64[1:] - t64[:-1])
+
         def chain_pred():
-            Tc = np.tile(np.eye(4), (F, 1, 1))
-            for k in range(F - 1):
-                zr, zt = odom_rel(k)
-                Tk = np.eye(4)
-                Tk[:3, :3] = zr.astype(np.float64)
-                Tk[:3, 3] = zt.astype(np.float64)
-                Tc[k + 1] = Tc[k] @ Tk
-            return Tc
+            """Dead-reckon the bias-corrected odometry chain.
+
+            Composition is associative, so the prefix products run as
+            a Hillis-Steele scan: log2(F) passes of batched 4x4
+            einsums instead of an F-step Python loop (the loop was the
+            dominant bias-estimation cost at endurance scale — each
+            grid candidate re-composes a 2047-edge chain)."""
+            Tk = np.tile(np.eye(4), (F, 1, 1))
+            Tk[1:, :3, :3] = rel_R_all @ _so3_exp(bias_w)
+            Tk[1:, :3, 3] = np.exp(bias_s) * rel_t_all
+            shift = 1
+            while shift < F:
+                Tk[shift:] = np.einsum("nij,njk->nik",
+                                       Tk[:-shift], Tk[shift:])
+                shift *= 2
+            return Tk
 
         def misclosure(Tc):
             """Measurement-space misclosure: chain-composed odometry
